@@ -1,0 +1,262 @@
+"""Batched augmented-Lagrangian Gauss-Newton NLP solver in pure JAX.
+
+TPU-native replacement for the reference's CasADi + IPOPT(+MUMPS) stack
+(ref: trajopt/tube_trajopt.py:129-285). Design:
+
+- The NLP is supplied as pure functions of a flat decision vector ``x`` and a
+  scenario-parameter pytree ``p``: a least-squares objective residual ``r``
+  (cost = 0.5 * ||r||^2), equality constraints ``h(x,p)=0``, inequality
+  constraints ``g(x,p)>=0``, and box bounds.
+- Outer loop: Powell-Hestenes-Rockafellar augmented Lagrangian with first-order
+  multiplier updates and penalty growth on stalled feasibility.
+- Inner loop: projected Gauss-Newton. The GN/KKT system is dense per scenario
+  (a few hundred variables for N=50 horizons) and solved with a Cholesky
+  factorization — batched over thousands of scenarios via ``vmap``, the
+  factorizations and the Jacobian products are large batched matmuls that map
+  straight onto the TPU MXU.
+- Everything is fixed-iteration with per-scenario convergence freezing
+  (``jnp.where``), so one compiled program serves the entire batch with no
+  data-dependent control flow.
+
+Accuracy: with exact Jacobians (via jax.jacfwd) and multiplier convergence,
+the solver converges to the same KKT points as IPOPT; parity is enforced in
+tests against scipy trust-constr golden solutions (<=1e-3, BASELINE.json).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class ALConfig:
+    """Static solver configuration."""
+
+    outer_iters: int = struct.field(pytree_node=False, default=12)
+    inner_iters: int = struct.field(pytree_node=False, default=10)
+    ls_iters: int = struct.field(pytree_node=False, default=10)
+    rho0: float = struct.field(pytree_node=False, default=10.0)
+    rho_growth: float = struct.field(pytree_node=False, default=5.0)
+    rho_max: float = struct.field(pytree_node=False, default=1e6)
+    viol_reduction: float = struct.field(pytree_node=False, default=0.25)
+    tol_feas: float = struct.field(pytree_node=False, default=1e-5)
+    # Stationarity tolerance is relative to the objective scale (IPOPT also
+    # scales its dual-infeasibility test); see `_grad_tol` below.
+    tol_grad: float = struct.field(pytree_node=False, default=1e-4)
+    reg: float = struct.field(pytree_node=False, default=1e-7)
+    ls_backtrack: float = struct.field(pytree_node=False, default=0.5)
+    armijo: float = struct.field(pytree_node=False, default=1e-4)
+
+
+class ALSolution(NamedTuple):
+    x: jax.Array            # (D,) solution
+    lam: jax.Array          # (E,) equality multipliers
+    mu: jax.Array           # (I,) inequality multipliers (>= 0)
+    viol: jax.Array         # () max constraint violation
+    grad_norm: jax.Array    # () projected-gradient inf-norm at x
+    obj: jax.Array          # () objective value
+    rho: jax.Array          # () final penalty
+    converged: jax.Array    # () bool
+    outer_used: jax.Array   # () iterations until convergence
+
+
+def _merit_and_grad_terms(r_fn, h_fn, g_fn, x, p, lam, mu, rho):
+    r = r_fn(x, p)
+    h = h_fn(x, p)
+    g = g_fn(x, p)
+    # PHR: ineq term (1/2rho)*(max(0, mu - rho g)^2 - mu^2)
+    act = jnp.maximum(0.0, mu - rho * g)
+    merit = (
+        0.5 * jnp.sum(r * r)
+        + jnp.sum(lam * h)
+        + 0.5 * rho * jnp.sum(h * h)
+        + (0.5 / rho) * jnp.sum(act * act - mu * mu)
+    )
+    return merit, r, h, g, act
+
+
+def solve_al(
+    r_fn: Callable,
+    h_fn: Callable,
+    g_fn: Callable,
+    x0: jax.Array,
+    p,
+    lb: jax.Array,
+    ub: jax.Array,
+    cfg: ALConfig = ALConfig(),
+    lam0: Optional[jax.Array] = None,
+    mu0: Optional[jax.Array] = None,
+    rho_init: Optional[jax.Array] = None,
+) -> ALSolution:
+    """Solve one NLP instance; vmap over (x0, p, lb, ub[, lam0, mu0]) to batch.
+
+    min_x 0.5||r(x,p)||^2  s.t.  h(x,p)=0,  g(x,p)>=0,  lb<=x<=ub.
+    """
+    D = x0.shape[0]
+    h0 = h_fn(x0, p)
+    g0 = g_fn(x0, p)
+    E, I = h0.shape[0], g0.shape[0]
+
+    lam = jnp.zeros((E,)) if lam0 is None else lam0
+    mu = jnp.zeros((I,)) if mu0 is None else mu0
+    rho = jnp.asarray(cfg.rho0 if rho_init is None else rho_init, jnp.float32)
+
+    jac_r = jax.jacfwd(r_fn)
+    jac_h = jax.jacfwd(h_fn)
+    jac_g = jax.jacfwd(g_fn)
+
+    def al_value(x, lam, mu, rho):
+        merit, *_ = _merit_and_grad_terms(r_fn, h_fn, g_fn, x, p, lam, mu, rho)
+        return merit
+
+    def inner_step(x, lam, mu, rho):
+        """One projected Gauss-Newton step on the AL merit."""
+        merit, r, h, g, act = _merit_and_grad_terms(
+            r_fn, h_fn, g_fn, x, p, lam, mu, rho
+        )
+        Jr = jac_r(x, p)
+        Jh = jac_h(x, p)
+        Jg = jac_g(x, p)
+
+        grad = (
+            Jr.T @ r
+            + Jh.T @ (lam + rho * h)
+            - Jg.T @ act
+        )
+        active_ineq = (act > 0.0).astype(x.dtype)
+        H = (
+            Jr.T @ Jr
+            + rho * (Jh.T @ Jh)
+            + rho * (Jg.T * active_ineq[None, :]) @ Jg
+        )
+
+        # Freeze variables pinned at a bound with gradient pushing outward
+        # (projected Newton, Bertsekas 1982).
+        eps_b = 1e-9 + 1e-6 * (ub - lb)
+        at_lb = (x <= lb + eps_b) & (grad > 0.0)
+        at_ub = (x >= ub - eps_b) & (grad < 0.0)
+        free = ~(at_lb | at_ub)
+        fmask = free.astype(x.dtype)
+        Hf = H * fmask[:, None] * fmask[None, :] + jnp.diag(1.0 - fmask)
+        gf = grad * fmask
+        Hf = Hf + cfg.reg * jnp.eye(D, dtype=x.dtype)
+        L = jax.scipy.linalg.cho_factor(Hf, lower=True)
+        d = -jax.scipy.linalg.cho_solve(L, gf)
+        d = jnp.where(free, d, 0.0)
+
+        # Backtracking projected line search (Armijo on the AL merit).
+        dir_deriv = jnp.dot(grad, d)
+
+        def ls_body(carry, _):
+            alpha, best_x, best_merit, done = carry
+            x_try = jnp.clip(x + alpha * d, lb, ub)
+            m_try = al_value(x_try, lam, mu, rho)
+            ok = (m_try <= merit + cfg.armijo * alpha * dir_deriv) & ~done
+            best_x = jnp.where(ok, x_try, best_x)
+            best_merit = jnp.where(ok, m_try, best_merit)
+            done = done | ok
+            return (alpha * cfg.ls_backtrack, best_x, best_merit, done), None
+
+        (_, x_new, merit_new, ls_ok), _ = jax.lax.scan(
+            ls_body, (jnp.asarray(1.0, x.dtype), x, merit, jnp.asarray(False)),
+            None, length=cfg.ls_iters,
+        )
+        # Projected-gradient inf-norm as stationarity measure.
+        pg = x - jnp.clip(x - grad, lb, ub)
+        return x_new, jnp.max(jnp.abs(pg)), ls_ok
+
+    def outer_body(carry, _):
+        x, lam, mu, rho, prev_viol, converged, outer_used = carry
+
+        def inner_body(carry2, _):
+            x2, frozen = carry2
+            x3, gnorm, ls_ok = inner_step(x2, lam, mu, rho)
+            # Freeze once stationary on the current subproblem.
+            frozen2 = frozen | (gnorm < cfg.tol_grad * 0.1) | ~ls_ok
+            x4 = jnp.where(frozen, x2, x3)
+            return (x4, frozen2), None
+
+        (x_new, _), _ = jax.lax.scan(
+            inner_body, (x, jnp.asarray(False)), None, length=cfg.inner_iters
+        )
+        x_new = jnp.where(converged, x, x_new)
+
+        h = h_fn(x_new, p)
+        g = g_fn(x_new, p)
+        viol = jnp.maximum(
+            jnp.max(jnp.abs(h)) if E > 0 else 0.0,
+            jnp.max(jnp.maximum(-g, 0.0)) if I > 0 else 0.0,
+        )
+        # First-order multiplier updates.
+        lam_new = jnp.where(converged, lam, lam + rho * h)
+        mu_new = jnp.where(converged, mu, jnp.maximum(0.0, mu - rho * g))
+        # Penalty growth if feasibility stalls.
+        grow = viol > cfg.viol_reduction * prev_viol
+        rho_new = jnp.where(
+            converged | ~grow, rho, jnp.minimum(rho * cfg.rho_growth, cfg.rho_max)
+        )
+
+        # Stationarity of the Lagrangian at the new multipliers.
+        r = r_fn(x_new, p)
+        grad_L = (
+            jac_r(x_new, p).T @ r
+            + (jac_h(x_new, p).T @ lam_new if E > 0 else 0.0)
+            - (jac_g(x_new, p).T @ mu_new if I > 0 else 0.0)
+        )
+        pg = x_new - jnp.clip(x_new - grad_L, lb, ub)
+        gnorm = jnp.max(jnp.abs(pg))
+        # Scale-aware dual tolerance (objective gradients grow with cost
+        # magnitude; cf. IPOPT's s_d scaling of dual infeasibility).
+        obj_scale = 1.0 + jnp.sqrt(jnp.sum(r * r))
+        now_conv = (viol < cfg.tol_feas) & (gnorm < cfg.tol_grad * obj_scale)
+        outer_used = jnp.where(converged, outer_used, outer_used + 1)
+        converged = converged | now_conv
+        return (
+            (x_new, lam_new, mu_new, rho_new, viol, converged, outer_used),
+            None,
+        )
+
+    init = (
+        jnp.clip(x0, lb, ub), lam, mu, rho,
+        jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(False),
+        jnp.asarray(0, jnp.int32),
+    )
+    (x, lam, mu, rho, viol, converged, outer_used), _ = jax.lax.scan(
+        outer_body, init, None, length=cfg.outer_iters
+    )
+
+    r = r_fn(x, p)
+    grad_L = (
+        jac_r(x, p).T @ r
+        + (jac_h(x, p).T @ lam if E > 0 else 0.0)
+        - (jac_g(x, p).T @ mu if I > 0 else 0.0)
+    )
+    pg = x - jnp.clip(x - grad_L, lb, ub)
+    return ALSolution(
+        x=x, lam=lam, mu=mu, viol=viol,
+        grad_norm=jnp.max(jnp.abs(pg)),
+        obj=0.5 * jnp.sum(r * r),
+        rho=rho, converged=converged, outer_used=outer_used,
+    )
+
+
+def solve_al_batched(r_fn, h_fn, g_fn, x0, p, lb, ub, cfg: ALConfig = ALConfig(),
+                     lam0=None, mu0=None, rho_init=None) -> ALSolution:
+    """vmap wrapper: leading batch axis on x0 / p / lb / ub (and warm duals)."""
+    fn = functools.partial(solve_al, r_fn, h_fn, g_fn, cfg=cfg)
+    in_axes = (0, 0, 0, 0)
+    args = (x0, p, lb, ub)
+    kw = {}
+    if lam0 is not None:
+        kw["lam0"] = lam0
+    if mu0 is not None:
+        kw["mu0"] = mu0
+    if rho_init is not None:
+        kw["rho_init"] = rho_init
+    return jax.vmap(lambda x0_, p_, lb_, ub_, **k: fn(x0_, p_, lb_, ub_, **k))(
+        *args, **kw
+    )

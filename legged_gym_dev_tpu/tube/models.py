@@ -1,0 +1,75 @@
+"""Tube-width network models as functional JAX pytrees.
+
+Replaces the reference's torch ``MLP`` (ref: deep_tube_learning/models.py:4-18)
+and l4casadi embedding (ref: trajopt/tube_trajopt.py:543-570): the model is a
+plain params-pytree + pure apply function, so it drops directly into solver
+residuals, is differentiated end-to-end by JAX, and fuses into the batched
+solve on TPU.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+def softplus_beta(x: jax.Array, beta: float = 5.0) -> jax.Array:
+    """Numerically-stable softplus with sharpness beta (torch Softplus(beta))."""
+    bx = beta * x
+    return jnp.where(bx > 20.0, x, jax.nn.softplus(bx) / beta)
+
+
+_ACTIVATIONS = {
+    "softplus_b5": lambda x: softplus_beta(x, 5.0),
+    "softplus": jax.nn.softplus,
+    "relu": jax.nn.relu,
+    "tanh": jnp.tanh,
+    "elu": jax.nn.elu,
+    "none": lambda x: x,
+}
+
+
+@struct.dataclass
+class MLP:
+    """Multi-layer perceptron: weights are leaves, architecture is static.
+
+    Matches the reference tube net shape: ``num_layers`` hidden layers of
+    ``num_units`` with an activation (default Softplus(beta=5), ref:
+    configs/tube_learning/tube_learning_oneshot.yaml), linear output with
+    optional final activation.
+    """
+
+    weights: tuple          # tuple of (in, out) arrays
+    biases: tuple           # tuple of (out,) arrays
+    activation: str = struct.field(pytree_node=False, default="softplus_b5")
+    final_activation: str = struct.field(pytree_node=False, default="none")
+
+    @classmethod
+    def create(cls, key, input_size: int, output_dim: int, num_units: int = 128,
+               num_layers: int = 2, activation: str = "softplus_b5",
+               final_activation: str = "none") -> "MLP":
+        sizes = [input_size] + [num_units] * num_layers + [output_dim]
+        ws, bs = [], []
+        for i, (fan_in, fan_out) in enumerate(zip(sizes[:-1], sizes[1:])):
+            key, sub = jax.random.split(key)
+            # Kaiming-uniform fan_in init (torch nn.Linear default).
+            bound = 1.0 / jnp.sqrt(fan_in)
+            ws.append(
+                jax.random.uniform(sub, (fan_in, fan_out), minval=-bound,
+                                   maxval=bound)
+            )
+            key, sub = jax.random.split(key)
+            bs.append(
+                jax.random.uniform(sub, (fan_out,), minval=-bound, maxval=bound)
+            )
+        return cls(weights=tuple(ws), biases=tuple(bs), activation=activation,
+                   final_activation=final_activation)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        act = _ACTIVATIONS[self.activation]
+        for W, b in zip(self.weights[:-1], self.biases[:-1]):
+            x = act(x @ W + b)
+        x = x @ self.weights[-1] + self.biases[-1]
+        return _ACTIVATIONS[self.final_activation](x)
