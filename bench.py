@@ -1,0 +1,101 @@
+"""Benchmark: batched tube-MPC solves/s/chip at N=50 horizon.
+
+The BASELINE.json metric: "tube-MPC solves/s/chip at N=50 horizon". The
+reference solves ONE such NLP at a time with CasADi+IPOPT on CPU
+(ref: trajopt/tube_trajopt.py:277, tube_planning.py:38-41); warm-started
+IPOPT re-solves of this problem class take ~100ms (implied by
+tube_planning_closed_loop.py's real-time ambitions; the repo publishes no
+numbers, see BASELINE.md), i.e. ~10 solves/s serial. ``vs_baseline`` is
+measured solves/s/chip divided by that 10/s estimate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    from legged_gym_dev_tpu.utils.runtime import setup_tpu_runtime
+
+    setup_tpu_runtime()
+
+    import jax
+    import jax.numpy as jnp
+
+    from legged_gym_dev_tpu.core import make_rom
+    from legged_gym_dev_tpu.solver import (
+        ALConfig,
+        PROBLEM_DICT,
+        TrajOptParams,
+        get_tube_dynamics,
+        solve_tube_batched,
+    )
+
+    N, H_REV = 50, 10
+    B = 1024  # scenarios per solve batch (target: >=1000 per host)
+
+    prob = PROBLEM_DICT["gap"]
+    pm = make_rom(
+        "SingleInt2D", prob["dt"],
+        [-prob["pos_max"]] * 2, [prob["pos_max"]] * 2,
+        [-prob["vel_max"]] * 2, [prob["vel_max"]] * 2,
+    )
+    Q = 10 * np.eye(2)
+    R = 10 * np.eye(2)
+    p = TrajOptParams.create(
+        pm, N, H_REV, Q, R, prob["start"], prob["goal"],
+        prob["obs"]["c"], prob["obs"]["r"], Qw=0.0, w_max=1.0,
+    )
+    # Scenario batch: randomized starts/goals/obstacle layouts.
+    rng = np.random.default_rng(0)
+    p_batch = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), p)
+    p_batch = p_batch.replace(
+        z0=p_batch.z0 + jnp.asarray(rng.uniform(-0.15, 0.15, (B, 2)), jnp.float32),
+        zf=p_batch.zf + jnp.asarray(rng.uniform(-0.15, 0.15, (B, 2)), jnp.float32),
+        obs_c=p_batch.obs_c
+        + jnp.asarray(rng.uniform(-0.05, 0.05, (B, 2, 2)), jnp.float32),
+        obs_r=p_batch.obs_r
+        * jnp.asarray(rng.uniform(0.85, 1.0, (B, 2)), jnp.float32),
+    )
+
+    tube_fn = get_tube_dynamics("l1", N, scaling=0.5)
+    cfg = ALConfig()  # defaults tuned for 1e-5 feasibility at N=50
+
+    solve = jax.jit(
+        lambda pb: solve_tube_batched(
+            pb, tube_fn, N, H_REV, cfg, warm_start="interpolate",
+            tube_ws="evaluate",
+        )
+    )
+
+    out = solve(p_batch)  # compile + first run
+    out.z.block_until_ready()
+
+    n_rep = 3
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        out = solve(p_batch)
+    out.z.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_rep
+
+    viol = np.asarray(out.sol.viol)
+    solves_per_s = B / dt
+    feasible_frac = float(np.mean(viol < 1e-3))
+
+    baseline_solves_per_s = 10.0  # serial warm-started IPOPT estimate (see top)
+    print(json.dumps({
+        "metric": "tube_mpc_solves_per_s_per_chip_N50",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / baseline_solves_per_s, 1),
+        "batch": B,
+        "solve_wall_s": round(dt, 4),
+        "feasible_frac": feasible_frac,
+        "max_viol": float(viol.max()),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -36,17 +36,20 @@ from flax import struct
 class ALConfig:
     """Static solver configuration."""
 
-    outer_iters: int = struct.field(pytree_node=False, default=12)
+    outer_iters: int = struct.field(pytree_node=False, default=15)
     inner_iters: int = struct.field(pytree_node=False, default=10)
     ls_iters: int = struct.field(pytree_node=False, default=10)
-    rho0: float = struct.field(pytree_node=False, default=10.0)
+    rho0: float = struct.field(pytree_node=False, default=100.0)
     rho_growth: float = struct.field(pytree_node=False, default=5.0)
-    rho_max: float = struct.field(pytree_node=False, default=1e6)
-    viol_reduction: float = struct.field(pytree_node=False, default=0.25)
+    # rho_max bounds the GN least-squares condition number; the QR inner
+    # solve tolerates ~3e4 in f32 (the normal-equations/Cholesky form only
+    # managed ~1e4 because it squares the conditioning).
+    rho_max: float = struct.field(pytree_node=False, default=3e4)
+    viol_reduction: float = struct.field(pytree_node=False, default=0.5)
     tol_feas: float = struct.field(pytree_node=False, default=1e-5)
     # Stationarity tolerance is relative to the objective scale (IPOPT also
-    # scales its dual-infeasibility test); see `_grad_tol` below.
-    tol_grad: float = struct.field(pytree_node=False, default=1e-4)
+    # scales its dual-infeasibility test by multiplier magnitude).
+    tol_grad: float = struct.field(pytree_node=False, default=1e-3)
     reg: float = struct.field(pytree_node=False, default=1e-7)
     ls_backtrack: float = struct.field(pytree_node=False, default=0.5)
     armijo: float = struct.field(pytree_node=False, default=1e-4)
@@ -95,7 +98,18 @@ def solve_al(
     """Solve one NLP instance; vmap over (x0, p, lb, ub[, lam0, mu0]) to batch.
 
     min_x 0.5||r(x,p)||^2  s.t.  h(x,p)=0,  g(x,p)>=0,  lb<=x<=ub.
+
+    Traced under full-f32 matmul precision: TPU's default bf16 matmul passes
+    destroy the Jacobian-product accuracy this solver's feasibility targets
+    need (NN inference elsewhere keeps the fast default).
     """
+    with jax.default_matmul_precision("highest"):
+        return _solve_al_impl(r_fn, h_fn, g_fn, x0, p, lb, ub, cfg, lam0,
+                              mu0, rho_init)
+
+
+def _solve_al_impl(r_fn, h_fn, g_fn, x0, p, lb, ub, cfg, lam0, mu0,
+                   rho_init) -> ALSolution:
     D = x0.shape[0]
     h0 = h_fn(x0, p)
     g0 = g_fn(x0, p)
@@ -114,7 +128,14 @@ def solve_al(
         return merit
 
     def inner_step(x, lam, mu, rho):
-        """One projected Gauss-Newton step on the AL merit."""
+        """One projected Gauss-Newton step on the AL merit.
+
+        The GN step is solved as a stacked least-squares via QR rather than
+        Cholesky of the normal equations: the penalty Hessian has intrinsic
+        condition ~rho * cond(J^T J), which f32 Cholesky cannot handle at the
+        rho needed for tight feasibility; QR of the stacked Jacobian only
+        pays the square root of that condition number.
+        """
         merit, r, h, g, act = _merit_and_grad_terms(
             r_fn, h_fn, g_fn, x, p, lam, mu, rho
         )
@@ -127,12 +148,6 @@ def solve_al(
             + Jh.T @ (lam + rho * h)
             - Jg.T @ act
         )
-        active_ineq = (act > 0.0).astype(x.dtype)
-        H = (
-            Jr.T @ Jr
-            + rho * (Jh.T @ Jh)
-            + rho * (Jg.T * active_ineq[None, :]) @ Jg
-        )
 
         # Freeze variables pinned at a bound with gradient pushing outward
         # (projected Newton, Bertsekas 1982).
@@ -141,11 +156,33 @@ def solve_al(
         at_ub = (x >= ub - eps_b) & (grad < 0.0)
         free = ~(at_lb | at_ub)
         fmask = free.astype(x.dtype)
-        Hf = H * fmask[:, None] * fmask[None, :] + jnp.diag(1.0 - fmask)
-        gf = grad * fmask
-        Hf = Hf + cfg.reg * jnp.eye(D, dtype=x.dtype)
-        L = jax.scipy.linalg.cho_factor(Hf, lower=True)
-        d = -jax.scipy.linalg.cho_solve(L, gf)
+
+        # Stacked LS: min_d ||A d - b||^2 with
+        #   A = [Jr; sqrt(rho) Jh; sqrt(rho) Jg_active; sqrt(reg) I]
+        #   b = [-r; -sqrt(rho)(h + lam/rho); sqrt(rho)(mu/rho - g)_active; 0]
+        # whose normal equations are exactly (H + reg I) d = -grad.
+        sr = jnp.sqrt(rho)
+        active = (act > 0.0).astype(x.dtype)
+        sa = sr * active[:, None]
+        A = jnp.concatenate(
+            [
+                Jr * fmask[None, :],
+                (sr * Jh) * fmask[None, :],
+                (sa * Jg) * fmask[None, :],
+                jnp.sqrt(cfg.reg + 1e-12) * jnp.eye(D, dtype=x.dtype),
+            ],
+            axis=0,
+        )
+        b = jnp.concatenate(
+            [
+                -r,
+                -sr * (h + lam / rho),
+                sr * active * (mu / rho - g),
+                jnp.zeros((D,), x.dtype),
+            ]
+        )
+        Qm, Rm = jnp.linalg.qr(A)
+        d = jax.scipy.linalg.solve_triangular(Rm, Qm.T @ b, lower=False)
         d = jnp.where(free, d, 0.0)
 
         # Backtracking projected line search (Armijo on the AL merit).
@@ -175,8 +212,11 @@ def solve_al(
         def inner_body(carry2, _):
             x2, frozen = carry2
             x3, gnorm, ls_ok = inner_step(x2, lam, mu, rho)
-            # Freeze once stationary on the current subproblem.
-            frozen2 = frozen | (gnorm < cfg.tol_grad * 0.1) | ~ls_ok
+            # Freeze once stationary on the current subproblem. A failed line
+            # search keeps x unchanged for this iteration but does NOT freeze:
+            # the next iteration recomputes the model at the same point with
+            # (possibly) different active sets and can recover.
+            frozen2 = frozen | (gnorm < cfg.tol_grad * 0.1)
             x4 = jnp.where(frozen, x2, x3)
             return (x4, frozen2), None
 

@@ -108,11 +108,13 @@ def closed_loop_tube_mpc(
         e_hist = jnp.concatenate([e_hist[1:], e_new[None]])
         v_prev = jnp.concatenate([v_prev[1:], v_apply[None, :]], axis=0)
 
-        # Re-solve warm-started from the previous primal + dual (ref :165-168).
+        # Re-solve warm-started from the previous primal + dual + penalty
+        # (ref :165-168; carrying rho keeps feasibility tight across
+        # re-solves instead of re-ramping the AL penalty from scratch).
         p_new = p_cur.replace(z0=z_next, e_hist=e_hist, v_prev=v_prev)
         sol_new = solve_al(
             r_fn, h_fn, g_fn, sol.x, p_new, lb, ub, al_loop,
-            lam0=sol.lam, mu0=sol.mu,
+            lam0=sol.lam, mu0=sol.mu, rho_init=sol.rho,
         )
         outs = (
             z_next, v_apply, w_sol[1], x_next, u, pz_x_next,

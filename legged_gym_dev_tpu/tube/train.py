@@ -1,0 +1,136 @@
+"""Tube-width network training loop (JAX/optax).
+
+Re-design of the reference trainer (ref: deep_tube_learning/train_tube.py)
+minus the Hydra/wandb plumbing: datasets come from ``tube.datasets``, the
+model is the functional ``MLP``, losses from ``tube.losses``, optimization by
+optax with a jitted step. Mirrors the reference loop's behaviors: grad-norm
+tracking, per-epoch dataset ``update`` (alpha resampling), periodic eval
+(coverage = fraction fw >= w, ref: deep_tube_learning/utils.py:144-213),
+and best/latest checkpoint tracking (ref: train_tube.py:59-144).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .datasets import HorizonTubeDataset, TubeDataset
+from .models import MLP
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    epochs: int = 100
+    batch_size: int = 1024
+    learning_rate: float = 1e-3
+    eval_every: int = 10
+    test_split: float = 0.2
+    seed: int = 0
+    grad_clip: float = 0.0  # 0 disables
+
+
+@dataclasses.dataclass
+class TrainResult:
+    model: MLP
+    best_model: MLP
+    history: List[Dict]
+
+
+def coverage(fw: np.ndarray, w: np.ndarray) -> float:
+    """"Proportion Correct": fraction of targets covered by the predicted
+    tube (ref: deep_tube_learning/utils.py:158-165)."""
+    return float(np.mean(np.all(fw >= w, axis=-1)))
+
+
+def train_tube(
+    dataset,
+    model: MLP,
+    loss_fn: Callable,
+    cfg: TrainConfig = TrainConfig(),
+) -> TrainResult:
+    """Train a tube network on a TubeDataset or HorizonTubeDataset."""
+    rng = np.random.default_rng(cfg.seed)
+    horizon = isinstance(dataset, HorizonTubeDataset)
+    train_ds, test_ds = dataset.random_split(1.0 - cfg.test_split, rng=rng)
+
+    tx = optax.adam(cfg.learning_rate)
+    if cfg.grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    opt_state = tx.init(model)
+
+    @jax.jit
+    def step(model, opt_state, xb, yb):
+        def batch_loss(m):
+            return loss_fn(m(xb), yb, xb)
+
+        loss, grads = jax.value_and_grad(batch_loss)(model)
+        gnorm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, opt_state, model)
+        return optax.apply_updates(model, updates), opt_state, loss, gnorm
+
+    @jax.jit
+    def predict(model, xb):
+        return model(xb)
+
+    def sample(ds, batch):
+        if horizon:
+            return ds.sample_batch(rng, batch)
+        idx = rng.integers(0, len(ds), size=batch)
+        return ds.data[idx], ds.target[idx]
+
+    def evaluate(ds):
+        xb, yb = sample(ds, min(4096, max(len(ds), 1) * (8 if horizon else 1)))
+        fw = np.asarray(predict(model, jnp.asarray(xb)))
+        return {
+            "coverage": coverage(fw, yb),
+            "eval_mean_err": float(np.mean(np.abs(fw - yb))),
+        }
+
+    history: List[Dict] = []
+    best_model, best_cov = model, -1.0
+    steps_per_epoch = max(
+        1, (len(train_ds) * (8 if horizon else 1)) // cfg.batch_size
+    )
+    for epoch in range(cfg.epochs):
+        train_ds.update(rng)
+        losses, gnorms = [], []
+        for _ in range(steps_per_epoch):
+            xb, yb = sample(train_ds, cfg.batch_size)
+            model, opt_state, loss, gnorm = step(
+                model, opt_state, jnp.asarray(xb), jnp.asarray(yb)
+            )
+            losses.append(float(loss))
+            gnorms.append(float(gnorm))
+        rec = {"epoch": epoch, "loss": float(np.mean(losses)),
+               "grad_norm": float(np.mean(gnorms))}
+        if (epoch + 1) % cfg.eval_every == 0 or epoch == cfg.epochs - 1:
+            rec.update(evaluate(test_ds))
+            if rec["coverage"] >= best_cov:
+                best_cov, best_model = rec["coverage"], model
+        history.append(rec)
+    return TrainResult(model=model, best_model=best_model, history=history)
+
+
+def evaluate_rollout_recursive(model: MLP, w0, z_rest, v, H_rev: int):
+    """Recursively roll a one-step tube model along a trajectory
+    (ref: evaluation/evaluate_tube_simple.py:55-146 pattern): feed the
+    model's own prediction back as the width input.
+
+    Args are single-trajectory arrays: w0 scalar, z_rest (T, n-2), v (T, m).
+    Returns predicted widths (T,).
+    """
+    T = v.shape[0]
+
+    def body(w_prev, t):
+        x = jnp.concatenate(
+            [jnp.atleast_1d(w_prev), z_rest[t], v[t]]
+        )
+        w_next = model(x)[0]
+        return w_next, w_next
+
+    _, ws = jax.lax.scan(body, jnp.asarray(w0), jnp.arange(T))
+    return ws
