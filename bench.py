@@ -71,14 +71,17 @@ def main():
     )
 
     out = solve(p_batch)  # compile + first run
-    out.z.block_until_ready()
+    np.asarray(out.z)  # host transfer forces completion (block_until_ready
+    #                    is unreliable on the experimental remote backend)
 
     n_rep = 3
-    t0 = time.perf_counter()
+    times = []
     for _ in range(n_rep):
+        t0 = time.perf_counter()
         out = solve(p_batch)
-    out.z.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_rep
+        np.asarray(out.z)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
 
     viol = np.asarray(out.sol.viol)
     solves_per_s = B / dt

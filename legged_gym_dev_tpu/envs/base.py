@@ -1,0 +1,75 @@
+"""Functional RL environment protocol + reward-term registry.
+
+TPU-native re-design of the reference env layer (ref:
+legged_gym/envs/base/base_task.py, legged_robot.py): instead of a mutable
+class holding GPU buffers, an env is a static config object (flax struct)
+whose methods transform an explicit ``EnvState`` pytree:
+
+    state, obs             = env.reset(key)
+    state, transition      = env.step(state, actions)
+
+``Transition`` carries the rsl_rl VecEnv quintuple (obs, privileged obs,
+reward, done, extras) (ref: legged_robot.py:80-104, base_task.py:101-119),
+with ``extras`` holding per-term episode reward sums normalized by episode
+seconds and time-out flags (ref: legged_robot.py:174-187).
+
+Reward terms are an explicit name->function table per env (replacing the
+reference's ``_reward_*`` reflection scan, ref: legged_robot.py:605-630;
+SURVEY.md §7 hard part 5): each term maps (env, state) -> (B,) rewards and is
+scaled by the config's ``reward_scales`` dict; zero-scaled terms are dropped
+at construction exactly like the reference.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Transition(NamedTuple):
+    obs: jax.Array            # (B, num_obs)
+    privileged_obs: Any       # (B, num_privileged_obs) or None
+    reward: jax.Array         # (B,)
+    done: jax.Array           # (B,) bool — env was reset after this step
+    info: Dict[str, Any]      # {'episode': {...}, 'time_outs': (B,)}
+
+
+def scaled_reward_terms(term_table: Dict[str, Callable],
+                        reward_scales: Dict[str, float], dt: float):
+    """Resolve the active (name, fn, scale) list.
+
+    Scales are multiplied by the policy dt exactly as the reference does
+    (ref: legged_robot.py:612-617); zero-scale terms are removed.
+    'termination' is applied unscaled-by-dt after clipping (ref :266-270) —
+    callers handle it separately.
+    """
+    active = []
+    for name, scale in reward_scales.items():
+        if scale == 0 or name == "termination":
+            continue
+        if name not in term_table:
+            raise ValueError(
+                f"Reward term '{name}' not in table {sorted(term_table)}"
+            )
+        active.append((name, term_table[name], float(scale) * dt))
+    return active
+
+
+def compute_total_reward(active_terms, env, state, only_positive=False,
+                         termination_fn=None, termination_scale=0.0):
+    """Sum scaled terms; optionally clip negative totals, then add the
+    termination reward post-clip (ref: legged_robot.py:189-207)."""
+    total = 0.0
+    episode = {}
+    for name, fn, scale in active_terms:
+        r = fn(env, state) * scale
+        total = total + r
+        episode[name] = r
+    if only_positive:
+        total = jnp.clip(total, 0.0)
+    if termination_fn is not None and termination_scale != 0.0:
+        r = termination_fn(env, state) * termination_scale
+        total = total + r
+        episode["termination"] = r
+    return total, episode
