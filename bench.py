@@ -29,12 +29,15 @@ def main():
         ALConfig,
         PROBLEM_DICT,
         TrajOptParams,
-        get_tube_dynamics,
-        solve_tube_batched,
     )
+    from legged_gym_dev_tpu.solver.fast_tube import solve_tube_fast_batched
+
+    import os
 
     N, H_REV = 50, 10
-    B = 1024  # scenarios per solve batch (target: >=1000 per host)
+    # Scenarios per solve batch (target: >=1000 per host). The stage-recursive
+    # solver is latency-bound at small batch, so large batches are nearly free.
+    B = int(os.environ.get("BENCH_BATCH", "8192"))
 
     prob = PROBLEM_DICT["gap"]
     pm = make_rom(
@@ -60,13 +63,15 @@ def main():
         * jnp.asarray(rng.uniform(0.85, 1.0, (B, 2)), jnp.float32),
     )
 
-    tube_fn = get_tube_dynamics("l1", N, scaling=0.5)
     cfg = ALConfig()  # defaults tuned for 1e-5 feasibility at N=50
 
+    # Structured stage-wise solver: block-tridiagonal KKT factorization
+    # (solver/fast_tube.py) — the TPU-native replacement for IPOPT's sparse
+    # linear algebra.
     solve = jax.jit(
-        lambda pb: solve_tube_batched(
-            pb, tube_fn, N, H_REV, cfg, warm_start="interpolate",
-            tube_ws="evaluate",
+        lambda pb: solve_tube_fast_batched(
+            pb, N, H_REV, tube_kind="l1", scaling=0.5, cfg=cfg,
+            warm_start="interpolate", tube_ws="evaluate",
         )
     )
 

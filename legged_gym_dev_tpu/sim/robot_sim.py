@@ -1,0 +1,129 @@
+"""Assembled batched robot simulator: dynamics + contact + actuation.
+
+The framework's Isaac Gym replacement at the stepping level (ref:
+legged_robot.py:125-148 step/decimation structure): a ``RobotSim`` holds the
+model + contact/terrain parameters and exposes
+
+    state' = sim.substep(state, tau)        # one physics step (sim dt)
+    state' = sim.step(state, torque_fn)     # decimation x substeps with a
+                                            # torque callback per substep
+                                            # (ref: legged_robot.py:134-140)
+
+Joint-level passive springs/dampers support the hopper's spring-loaded foot
+(ref: hopper_config.py:74-78) and actuator armature-free PD control lives in
+the env layer, mirroring the reference's _compute_torques split.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .contact import ContactParams, contact_forces, flat_terrain
+from .dynamics import (
+    RobotModel,
+    RobotState,
+    bias_forces,
+    contact_kinematics,
+    forward_dynamics,
+    integrate,
+    mass_matrix,
+)
+
+
+@struct.dataclass
+class JointSprings:
+    """Passive per-joint spring/damper to a setpoint (hopper foot spring,
+    ref hopper.py:168-237 stance force)."""
+
+    stiffness: jax.Array   # (nj,)
+    damping: jax.Array     # (nj,)
+    setpoint: jax.Array    # (nj,)
+
+    @classmethod
+    def zero(cls, nj: int):
+        return cls(stiffness=jnp.zeros(nj), damping=jnp.zeros(nj),
+                   setpoint=jnp.zeros(nj))
+
+
+@struct.dataclass
+class RobotSim:
+    model: RobotModel
+    contact: ContactParams
+    springs: JointSprings
+    dt: float = struct.field(pytree_node=False, default=0.005)
+    decimation: int = struct.field(pytree_node=False, default=4)
+    terrain_fn: Callable = struct.field(pytree_node=False,
+                                        default=flat_terrain)
+    joint_limit_stiffness: float = struct.field(pytree_node=False,
+                                                default=1000.0)
+    joint_limit_damping: float = struct.field(pytree_node=False, default=10.0)
+
+    @classmethod
+    def create(cls, model, contact=None, springs=None, dt=0.005, decimation=4,
+               terrain_fn=flat_terrain, **kw):
+        return cls(
+            model=model,
+            contact=contact or ContactParams.create(),
+            springs=springs or JointSprings.zero(model.nj),
+            dt=float(dt), decimation=int(decimation), terrain_fn=terrain_fn,
+            **kw,
+        )
+
+    # ------------------------------------------------------------------
+    def default_state(self, batch: int, base_pos=(0.0, 0.0, 1.0),
+                      q: Optional[jax.Array] = None) -> RobotState:
+        nj = self.model.nj
+        return RobotState(
+            base_pos=jnp.broadcast_to(jnp.asarray(base_pos, jnp.float32),
+                                      (batch, 3)),
+            base_quat=jnp.broadcast_to(
+                jnp.asarray([0.0, 0.0, 0.0, 1.0]), (batch, 4)
+            ),
+            q=(jnp.zeros((batch, nj)) if q is None
+               else jnp.broadcast_to(q, (batch, nj))),
+            v=jnp.zeros((batch, 6 + nj)),
+        )
+
+    def _passive_tau(self, state: RobotState) -> jax.Array:
+        """Joint springs/dampers + soft joint-limit forces."""
+        tau = (
+            self.springs.stiffness * (self.springs.setpoint - state.q)
+            - self.springs.damping * state.v[..., 6:]
+        )
+        # Soft limits (penalty) keep q in [lower, upper].
+        below = jnp.maximum(self.model.q_lower - state.q, 0.0)
+        above = jnp.maximum(state.q - self.model.q_upper, 0.0)
+        lim = self.joint_limit_stiffness * (below - above)
+        lim = lim - jnp.where(
+            (below > 0) | (above > 0),
+            self.joint_limit_damping * state.v[..., 6:], 0.0,
+        )
+        return tau + lim
+
+    def substep(self, state: RobotState, tau: jax.Array) -> RobotState:
+        """One physics step at self.dt with applied joint torques tau."""
+        tau = jnp.clip(tau, -self.model.effort_limit, self.model.effort_limit)
+        tau = tau + self._passive_tau(state)
+
+        # Contact: sphere kinematics -> penalty forces -> generalized forces.
+        pos, vel, Jc = contact_kinematics(self.model, state)
+        f = contact_forces(self.contact, pos, vel, self.model.contact_radius,
+                           self.terrain_fn)
+        f_gen = jnp.einsum("bcik,bci->bk", Jc, f)
+
+        qdd = forward_dynamics(self.model, state, tau, f_gen)
+        return integrate(self.model, state, qdd, self.dt)
+
+    def step(self, state: RobotState,
+             torque_fn: Callable[[RobotState], jax.Array]) -> RobotState:
+        """Decimated control step: recompute torques each substep
+        (ref legged_robot.py:134-140)."""
+
+        def body(s, _):
+            return self.substep(s, torque_fn(s)), None
+
+        state, _ = jax.lax.scan(body, state, None, length=self.decimation)
+        return state

@@ -1,0 +1,421 @@
+"""Structured (stage-wise) tube-MPC solver: AL Gauss-Newton with a
+block-tridiagonal KKT factorization.
+
+Same algorithm and semantics as the generic path (al_solver + trajopt
+builders) but assembled analytically in stage-major form
+``u_k = [z_k, w_k, v_k]`` so the GN system is block-tridiagonal:
+
+- objective, obstacle, and IC terms are block-diagonal;
+- dynamics couple (z_k, v_k) -> z_{k+1} (one sub-diagonal block);
+- l1/l2 tube dynamics couple v_k -> w_{k+1} (same sub-diagonal block);
+- the one-shot NN tube couples all stages -> handled as a rank-N Woodbury
+  correction on the banded factorization.
+
+This replaces the dense 253x253 Cholesky (the measured hot spot of the
+batched solve) with ~200x fewer FLOPs of stage-recursive small-block ops —
+the "blocked KKT factorization over the horizon" called for by the
+BASELINE.json north star. Dynamics linearizations are computed per stage
+(jacfwd of the single-stage ROM step), so nonlinear ROMs (unicycles) use the
+exact same code path.
+
+Verified against the generic solver in tests (same trajectories to <=1e-3).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.rom import RomDynamics
+from .al_solver import ALConfig, ALSolution
+from .block_tridiag import (
+    block_tridiag_factor,
+    block_tridiag_solve,
+    woodbury_solve,
+)
+from .trajopt import TrajOptParams
+
+
+class StagedProblem(NamedTuple):
+    """Static description of the staged NLP."""
+
+    n: int
+    m: int
+    N: int
+    K: int            # obstacles
+    tube_kind: str    # 'l1' | 'l2' | 'nn'
+    scaling: float
+    track_ref: bool
+
+
+def _stage_layout(n: int, m: int):
+    b = n + 1 + m
+    return b, slice(0, n), n, slice(n + 1, n + 1 + m)
+
+
+# ---------------------------------------------------------------------------
+# Stage-form residuals (merit evaluation)
+# ---------------------------------------------------------------------------
+
+def _split(u, sp: StagedProblem):
+    """(S, b) stage vars -> z (N+1, n), w (N+1,), v (N, m)."""
+    n, m = sp.n, sp.m
+    z = u[:, :n]
+    w = u[:, n]
+    v = u[:-1, n + 1:]
+    return z, w, v
+
+
+def _tube_fw(sp: StagedProblem, z, v, p: TrajOptParams):
+    if sp.tube_kind == "l1":
+        return sp.scaling * jnp.sum(jnp.abs(v), axis=-1)
+    if sp.tube_kind == "l2":
+        return sp.scaling * jnp.sum(v * v, axis=-1)
+    # NN one-shot (input layout parity with tube_dynamics.nn_oneshot_tube).
+    v_total = jnp.concatenate([p.v_prev, v], axis=0)
+    x_in = jnp.concatenate([p.e_hist.reshape(-1), z[0, 2:],
+                            v_total.T.reshape(-1)])
+    return p.tube_params(x_in)
+
+
+def _residuals(sp: StagedProblem, u, p: TrajOptParams):
+    """(r, h, g) for the staged variables; identical values to the generic
+    builders in trajopt.build_nlp_fns."""
+    n, m, N = sp.n, sp.m, sp.N
+    z, w, v = _split(u, sp)
+    z_goal = p.z_ref if sp.track_ref else jnp.broadcast_to(p.zf, (N + 1, n))
+    v_goal = p.v_ref if sp.track_ref else jnp.zeros((N, m))
+    r = jnp.concatenate([
+        ((z[:-1] - z_goal[:-1]) @ p.Lq).reshape(-1),
+        ((z[-1] - z_goal[-1]) @ p.Lqf).reshape(-1),
+        ((v - v_goal) @ p.Lr).reshape(-1),
+        p.sqrt_qw * w,
+    ])
+    h_dyn = (p.rom.f(z[:-1], v) - z[1:]).reshape(-1)
+    h_ic = z[0, :2] - p.z0[:2]
+    h_tube = _tube_fw(sp, z, v, p) - w[1:]
+    h = jnp.concatenate([h_dyn, h_ic, h_tube])
+    d = z[:, None, :2] - p.obs_c[None, :, :]
+    g = (jnp.sum(d * d, axis=-1)
+         - (p.obs_r[None, :] + w[:, None]) ** 2).reshape(-1)
+    return r, h, g
+
+
+def _merit(sp, u, p, lam, mu, rho):
+    r, h, g = _residuals(sp, u, p)
+    act = jnp.maximum(0.0, mu - rho * g)
+    return (0.5 * jnp.sum(r * r) + jnp.sum(lam * h)
+            + 0.5 * rho * jnp.sum(h * h)
+            + (0.5 / rho) * jnp.sum(act * act - mu * mu))
+
+
+# ---------------------------------------------------------------------------
+# Stage-form GN assembly
+# ---------------------------------------------------------------------------
+
+def _assemble(sp: StagedProblem, u, p: TrajOptParams, lam, mu, rho):
+    """Return grad (S,b), diag blocks D (S,b,b), sub-diag L (S-1,b,b), and
+    (for NN tube) the dense tube Jacobian for Woodbury."""
+    n, m, N = sp.n, sp.m, sp.N
+    b = n + 1 + m
+    S = N + 1
+    iz, iw, iv = slice(0, n), n, slice(n + 1, n + 1 + m)
+    z, w, v = _split(u, sp)
+
+    r, h, g = _residuals(sp, u, p)
+    E_dyn = N * n
+    h_dyn = h[:E_dyn].reshape(N, n)
+    h_ic = h[E_dyn:E_dyn + 2]
+    h_tube = h[E_dyn + 2:]
+    lam_dyn = lam[:E_dyn].reshape(N, n)
+    lam_ic = lam[E_dyn:E_dyn + 2]
+    lam_tube = lam[E_dyn + 2:]
+    act = jnp.maximum(0.0, mu - rho * g).reshape(S, sp.K)
+    g_sk = g.reshape(S, sp.K)
+
+    z_goal = p.z_ref if sp.track_ref else jnp.broadcast_to(p.zf, (S, n))
+    v_goal = p.v_ref if sp.track_ref else jnp.zeros((N, m))
+
+    D = jnp.zeros((S, b, b))
+    L = jnp.zeros((S - 1, b, b))
+    grad = jnp.zeros((S, b))
+
+    # ---- objective (r-part): Hobj = J_r^T J_r, grad += J_r^T r ----------
+    Qz = p.Lq @ p.Lq.T          # = 2 Q
+    Qzf = p.Lqf @ p.Lqf.T
+    Rv = p.Lr @ p.Lr.T
+    D = D.at[:-1, iz, iz].add(Qz)
+    D = D.at[-1, iz, iz].add(Qzf)
+    D = D.at[:-1, iv, iv].add(Rv)
+    D = D.at[:, iw, iw].add(p.sqrt_qw ** 2)
+    grad = grad.at[:-1, iz].add((z[:-1] - z_goal[:-1]) @ Qz.T)
+    grad = grad.at[-1, iz].add((z[-1] - z_goal[-1]) @ Qzf.T)
+    grad = grad.at[:-1, iv].add((v - v_goal) @ Rv.T)
+    grad = grad.at[:, iw].add(p.sqrt_qw ** 2 * w)
+
+    # ---- dynamics: per-stage linearization A_k, B_k ----------------------
+    f_single = lambda zk, vk: p.rom.f(zk[None], vk[None])[0]
+    A = jax.vmap(jax.jacfwd(f_single, argnums=0))(z[:-1], v)   # (N, n, n)
+    B = jax.vmap(jax.jacfwd(f_single, argnums=1))(z[:-1], v)   # (N, n, m)
+    lh = lam_dyn + rho * h_dyn                                  # (N, n)
+    D = D.at[:-1, iz, iz].add(rho * jnp.einsum("kij,kil->kjl", A, A))
+    D = D.at[:-1, iz, iv].add(rho * jnp.einsum("kij,kil->kjl", A, B))
+    D = D.at[:-1, iv, iz].add(rho * jnp.einsum("kij,kil->kjl", B, A))
+    D = D.at[:-1, iv, iv].add(rho * jnp.einsum("kij,kil->kjl", B, B))
+    D = D.at[1:, iz, iz].add(rho * jnp.eye(n))
+    # L_k rows: z_{k+1}; cols: (z_k, v_k): -rho [A_k, B_k].
+    L = L.at[:, iz, iz].add(-rho * A)
+    L = L.at[:, iz, iv].add(-rho * B)
+    grad = grad.at[:-1, iz].add(jnp.einsum("kij,ki->kj", A, lh))
+    grad = grad.at[:-1, iv].add(jnp.einsum("kij,ki->kj", B, lh))
+    grad = grad.at[1:, iz].add(-lh)
+
+    # ---- initial condition ----------------------------------------------
+    lh_ic = lam_ic + rho * h_ic
+    D = D.at[0, 0, 0].add(rho)
+    D = D.at[0, 1, 1].add(rho)
+    grad = grad.at[0, 0].add(lh_ic[0])
+    grad = grad.at[0, 1].add(lh_ic[1])
+
+    # ---- obstacles (active rows) ----------------------------------------
+    # row J_ki: dz = 2(z_k[:2]-c_i), dw = -2(r_i+w_k); contribution
+    # rho*active * J^T J on the stage diagonal, grad -= J^T act.
+    dzc = 2.0 * (z[:, None, :2] - p.obs_c[None, :, :])           # (S,K,2)
+    dwc = -2.0 * (p.obs_r[None, :] + w[:, None])                 # (S,K)
+    arow = (act > 0.0).astype(u.dtype)                           # (S,K)
+    D = D.at[:, :2, :2].add(
+        rho * jnp.einsum("sk,ski,skj->sij", arow, dzc, dzc)
+    )
+    D = D.at[:, :2, iw].add(
+        rho * jnp.einsum("sk,ski,sk->si", arow, dzc, dwc)
+    )
+    D = D.at[:, iw, :2].add(
+        rho * jnp.einsum("sk,ski,sk->si", arow, dzc, dwc)
+    )
+    D = D.at[:, iw, iw].add(rho * jnp.einsum("sk,sk,sk->s", arow, dwc, dwc))
+    grad = grad.at[:, :2].add(-jnp.einsum("ski,sk->si", dzc, act))
+    grad = grad.at[:, iw].add(-jnp.einsum("sk,sk->s", dwc, act))
+
+    # ---- tube dynamics ---------------------------------------------------
+    U_nn = None
+    lh_t = lam_tube + rho * h_tube                               # (N,)
+    if sp.tube_kind in ("l1", "l2"):
+        if sp.tube_kind == "l1":
+            t = sp.scaling * jnp.sign(v)                         # (N, m)
+        else:
+            t = 2.0 * sp.scaling * v
+        D = D.at[:-1, iv, iv].add(rho * jnp.einsum("ki,kj->kij", t, t))
+        D = D.at[1:, iw, iw].add(rho)
+        # L_k rows: w_{k+1}; cols: v_k: -rho t_k.
+        L = L.at[:, iw, iv].add(-rho * t)
+        grad = grad.at[:-1, iv].add(t * lh_t[:, None])
+        grad = grad.at[1:, iw].add(-lh_t)
+    else:
+        # Dense NN rows via Woodbury: J_tube (N, S*b) built from the NN
+        # Jacobian w.r.t. (z0_rest, v) plus -I on w[1:].
+        def fw_of(zv):
+            z0_rest, v_flat = zv[: n - 2], zv[n - 2:].reshape(N, m)
+            z_in = z.at[0, 2:].set(z0_rest)
+            return _tube_fw(sp, z_in, v_flat, p)
+
+        zv0 = jnp.concatenate([z[0, 2:], v.reshape(-1)])
+        Jzv = jax.jacfwd(fw_of)(zv0)                 # (N, (n-2)+N*m)
+        Jt = jnp.zeros((N, S, b))
+        if n > 2:
+            Jt = Jt.at[:, 0, 2:n].set(Jzv[:, : n - 2])
+        Jv = Jzv[:, n - 2:].reshape(N, N, m)
+        Jt = Jt.at[:, :-1, iv].set(Jv)
+        rows = jnp.arange(1, S)
+        Jt = Jt.at[jnp.arange(N), rows, iw].add(-1.0)
+        U_nn = jnp.sqrt(rho) * jnp.moveaxis(Jt.reshape(N, S, b), 0, -1)
+        grad = grad + jnp.einsum("sbr,r->sb", U_nn, lh_t) / jnp.sqrt(rho)
+
+    return grad, D, L, U_nn
+
+
+# ---------------------------------------------------------------------------
+# AL loop (stage form)
+# ---------------------------------------------------------------------------
+
+def solve_tube_fast_single(
+    sp: StagedProblem,
+    p: TrajOptParams,
+    u0: jax.Array,
+    lb_u: jax.Array,
+    ub_u: jax.Array,
+    cfg: ALConfig = ALConfig(),
+    lam0=None,
+    mu0=None,
+    rho_init=None,
+) -> ALSolution:
+    """AL-GN on the staged layout (single scenario; vmap to batch)."""
+    S, b = u0.shape
+    r0, h0, g0 = _residuals(sp, u0, p)
+    E, I = h0.shape[0], g0.shape[0]
+    lam = jnp.zeros((E,)) if lam0 is None else lam0
+    mu = jnp.zeros((I,)) if mu0 is None else mu0
+    rho = jnp.asarray(cfg.rho0 if rho_init is None else rho_init, jnp.float32)
+
+    def inner_step(u, lam, mu, rho):
+        merit = _merit(sp, u, p, lam, mu, rho)
+        grad, D, L, U_nn = _assemble(sp, u, p, lam, mu, rho)
+
+        eps_b = 1e-9 + 1e-6 * (ub_u - lb_u)
+        at_lb = (u <= lb_u + eps_b) & (grad > 0.0)
+        at_ub = (u >= ub_u - eps_b) & (grad < 0.0)
+        free = ~(at_lb | at_ub)
+        fm = free.astype(u.dtype)
+        D = (D * fm[:, :, None] * fm[:, None, :]
+             + jnp.eye(b) * (1.0 - fm)[:, :, None] * jnp.eye(b))
+        D = D + (cfg.reg + 1e-6 * rho) * jnp.eye(b)
+        L = L * fm[1:, :, None] * fm[:-1, None, :]
+        gf = grad * fm
+
+        fac = block_tridiag_factor(D, L)
+        if U_nn is not None:
+            Um = U_nn * fm[:, :, None]
+            d = -woodbury_solve(fac, Um, gf)
+        else:
+            d = -block_tridiag_solve(fac, gf)
+        d = jnp.where(free, d, 0.0)
+        dir_deriv = jnp.sum(grad * d)
+
+        def ls_body(carry, _):
+            alpha, best_u, best_merit, done = carry
+            u_try = jnp.clip(u + alpha * d, lb_u, ub_u)
+            m_try = _merit(sp, u_try, p, lam, mu, rho)
+            ok = (m_try <= merit + cfg.armijo * alpha * dir_deriv) & ~done
+            best_u = jnp.where(ok, u_try, best_u)
+            best_merit = jnp.where(ok, m_try, best_merit)
+            return (alpha * cfg.ls_backtrack, best_u, best_merit,
+                    done | ok), None
+
+        (_, u_new, _, _), _ = jax.lax.scan(
+            ls_body, (jnp.asarray(1.0, u.dtype), u, merit, jnp.asarray(False)),
+            None, length=cfg.ls_iters,
+        )
+        pg = u - jnp.clip(u - grad, lb_u, ub_u)
+        return u_new, jnp.max(jnp.abs(pg))
+
+    def outer_body(carry, _):
+        u, lam, mu, rho, prev_viol, converged, outer_used = carry
+
+        def inner_body(carry2, _):
+            u2, frozen = carry2
+            u3, gnorm = inner_step(u2, lam, mu, rho)
+            frozen2 = frozen | (gnorm < cfg.tol_grad * 0.1)
+            return (jnp.where(frozen, u2, u3), frozen2), None
+
+        (u_new, _), _ = jax.lax.scan(
+            inner_body, (u, jnp.asarray(False)), None,
+            length=cfg.inner_iters,
+        )
+        u_new = jnp.where(converged, u, u_new)
+
+        r, h, g = _residuals(sp, u_new, p)
+        viol = jnp.maximum(jnp.max(jnp.abs(h)), jnp.max(jnp.maximum(-g, 0.0)))
+        lam_new = jnp.where(converged, lam, lam + rho * h)
+        mu_new = jnp.where(converged, mu, jnp.maximum(0.0, mu - rho * g))
+        grow = viol > cfg.viol_reduction * prev_viol
+        rho_new = jnp.where(
+            converged | ~grow, rho,
+            jnp.minimum(rho * cfg.rho_growth, cfg.rho_max),
+        )
+        grad, _, _, _ = _assemble(sp, u_new, p, lam_new, mu_new, rho)
+        pg = u_new - jnp.clip(u_new - grad, lb_u, ub_u)
+        gnorm = jnp.max(jnp.abs(pg))
+        obj_scale = 1.0 + jnp.sqrt(jnp.sum(r * r))
+        now_conv = (viol < cfg.tol_feas) & (gnorm < cfg.tol_grad * obj_scale)
+        outer_used = jnp.where(converged, outer_used, outer_used + 1)
+        converged = converged | now_conv
+        return (u_new, lam_new, mu_new, rho_new, viol, converged,
+                outer_used), None
+
+    init = (jnp.clip(u0, lb_u, ub_u), lam, mu, rho,
+            jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(False),
+            jnp.asarray(0, jnp.int32))
+    with jax.default_matmul_precision("highest"):
+        (u, lam, mu, rho, viol, converged, outer_used), _ = jax.lax.scan(
+            outer_body, init, None, length=cfg.outer_iters
+        )
+        r, h, g = _residuals(sp, u, p)
+        grad, _, _, _ = _assemble(sp, u, p, lam, mu, rho)
+    pg = u - jnp.clip(u - grad, lb_u, ub_u)
+    return ALSolution(
+        x=u.reshape(-1), lam=lam, mu=mu, viol=viol,
+        grad_norm=jnp.max(jnp.abs(pg)), obj=0.5 * jnp.sum(r * r),
+        rho=rho, converged=converged, outer_used=outer_used,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Public API mirroring trajopt.solve_tube
+# ---------------------------------------------------------------------------
+
+def pack_staged(z, w, v, n, m, N):
+    b = n + 1 + m
+    u = jnp.zeros((N + 1, b))
+    u = u.at[:, :n].set(z)
+    u = u.at[:, n].set(w)
+    u = u.at[:-1, n + 1:].set(v)
+    return u
+
+
+def unpack_staged(u, n, m, N):
+    return u[:, :n], u[:, n], u[:-1, n + 1:]
+
+
+def staged_bounds(p: TrajOptParams, n, m, N):
+    b = n + 1 + m
+    lb = jnp.zeros((N + 1, b))
+    ub = jnp.zeros((N + 1, b))
+    lb = lb.at[:, :n].set(p.rom.z_min).at[:, n].set(0.0)
+    ub = ub.at[:, :n].set(p.rom.z_max).at[:, n].set(p.w_max)
+    lb = lb.at[:-1, n + 1:].set(p.rom.v_min)
+    ub = ub.at[:-1, n + 1:].set(p.rom.v_max)
+    # Stage N's padded v slot is pinned to zero.
+    return lb, ub
+
+
+def solve_tube_fast(p: TrajOptParams, N: int, H_rev: int,
+                    tube_kind: str = "l1", scaling: float = 0.5,
+                    cfg: ALConfig = ALConfig(), warm_start: str = "interpolate",
+                    tube_ws="evaluate", track_warm: bool = False,
+                    z_init=None, v_init=None):
+    """Single-scenario structured tube solve; vmap for batches.
+
+    Mirrors trajopt.solve_tube's interface for the l1/l2/NN tube family.
+    """
+    from .trajopt import get_tube_warm_start, get_warm_start
+    from .tube_dynamics import get_tube_dynamics
+
+    n, m = p.rom.n, p.rom.m
+    sp = StagedProblem(n=n, m=m, N=N, K=p.obs_r.shape[0],
+                       tube_kind=("nn" if tube_kind == "NN_oneshot"
+                                  else tube_kind),
+                       scaling=scaling, track_ref=track_warm)
+    if z_init is None:
+        z_init, v_init = get_warm_start(warm_start, p, N, cfg)
+    tube_fn = get_tube_dynamics(
+        "NN_oneshot" if sp.tube_kind == "nn" else sp.tube_kind, N, scaling
+    )
+    w_init = get_tube_warm_start(tube_ws, tube_fn, z_init, v_init, p, N)
+    if track_warm:
+        p = p.replace(z_ref=z_init, v_ref=v_init)
+    u0 = pack_staged(z_init, w_init, v_init, n, m, N)
+    lb_u, ub_u = staged_bounds(p, n, m, N)
+    sol = solve_tube_fast_single(sp, p, u0, lb_u, ub_u, cfg)
+    z, w, v = unpack_staged(sol.x.reshape(N + 1, -1), n, m, N)
+    from .trajopt import TrajOptSolution
+    return TrajOptSolution(z=z, v=v, w=w, sol=sol)
+
+
+def solve_tube_fast_batched(p_batch: TrajOptParams, N, H_rev,
+                            tube_kind="l1", scaling=0.5,
+                            cfg: ALConfig = ALConfig(), **kw):
+    fn = functools.partial(solve_tube_fast, N=N, H_rev=H_rev,
+                           tube_kind=tube_kind, scaling=scaling, cfg=cfg, **kw)
+    return jax.vmap(fn)(p_batch)
