@@ -1,0 +1,328 @@
+"""Command-line entry points: train / play / collect / train-tube / plan / mpc.
+
+Replaces the reference's script zoo (ref: legged_gym/scripts/train.py,
+play.py; deep_tube_learning/train_rl.py, data_collection_trajectory.py,
+train_tube.py; trajopt/nominal_planning.py, tube_planning.py,
+tube_planning_closed_loop.py) and its three-tier class/CLI/Hydra config mix
+with one argparse CLI over the task registry.
+
+    python -m legged_gym_dev_tpu.cli train --task hopper_trajectory
+    python -m legged_gym_dev_tpu.cli play  --task hopper_trajectory --load logs/...
+    python -m legged_gym_dev_tpu.cli collect --epochs 4 --out data/rollouts.npz
+    python -m legged_gym_dev_tpu.cli train-tube --data data/rollouts.npz
+    python -m legged_gym_dev_tpu.cli plan --problem gap --tube-dyn l1
+    python -m legged_gym_dev_tpu.cli mpc  --problem gap --tube-dyn l1 --H 75
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _setup(args):
+    from .utils.runtime import force_cpu, setup_tpu_runtime
+
+    if getattr(args, "cpu", False):
+        force_cpu()
+    else:
+        setup_tpu_runtime()
+
+
+def cmd_train(args):
+    _setup(args)
+    import jax
+
+    from . import envs  # noqa: F401 (registers presets)
+    from .envs import task_registry
+    from .rl import ActorCritic
+
+    env = task_registry.make_env(args.task, num_envs=args.num_envs)
+    runner = task_registry.make_alg_runner(
+        env, args.task, log_root=args.log_root, run_name=args.run_name,
+        seed=args.seed, resume=args.resume, load_run=args.load,
+    )
+    runner.model = ActorCritic(
+        num_actions=env.num_actions,
+        actor_hidden_dims=(128, 64, 32), critic_hidden_dims=(128, 64, 32),
+    )
+    hist = runner.learn(args.max_iterations)
+    print(json.dumps({"final": hist[-1]}))
+
+
+def cmd_play(args):
+    _setup(args)
+    import jax
+    import jax.numpy as jnp
+
+    from . import envs  # noqa: F401
+    from .envs import task_registry
+    from .utils.export import export_policy_savedmodel, export_policy_stablehlo
+    from .utils.logger import Logger
+
+    env = task_registry.make_env(args.task, num_envs=args.num_envs,
+                                 add_noise=False)
+    runner = task_registry.make_alg_runner(env, args.task,
+                                           log_root=args.log_root, seed=0)
+    if args.load:
+        runner.ckpt.log_dir = args.load
+        runner.load(args.checkpoint)
+    policy = runner.get_inference_policy()
+
+    if args.export:
+        p = export_policy_stablehlo(policy, env.num_obs,
+                                    os.path.join(args.export, "policy.shlo"))
+        print(f"exported StableHLO: {p}")
+        p2 = export_policy_savedmodel(policy, env.num_obs,
+                                      os.path.join(args.export, "savedmodel"))
+        print(f"exported SavedModel: {p2}")
+
+    logger = Logger(dt=env.dt)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    for i in range(args.steps):
+        state, tr = step(state, policy(obs))
+        obs = tr.obs
+        logger.log_states({
+            "base_vel_x": tr.obs[0, 5] if env.num_obs > 5 else 0.0,
+            "reward": tr.reward[0],
+        })
+    if args.plot:
+        logger.plot_states(args.plot)
+        print(f"dashboard saved: {args.plot}")
+
+
+def cmd_collect(args):
+    _setup(args)
+    import jax
+
+    from .controllers import DoubleSingleTracking
+    from .envs.presets import make_rom_tracking_env
+    from .tube.collect import collect_epochs
+
+    env = make_rom_tracking_env(num_envs=args.num_envs)
+    sim = env.sim
+    policy = DoubleSingleTracking.create(4.0, 4.0, sim.model.clip_v_z)
+    data = collect_epochs(sim, policy, jax.random.PRNGKey(args.seed),
+                          episode_length_s=args.episode_length_s,
+                          epochs=args.epochs)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    np.savez(args.out, z=data.z, v=data.v, pz_x=data.pz_x, done=data.done)
+    print(f"saved {data.z.shape[0]} episodes x {data.v.shape[1]} steps "
+          f"-> {args.out}")
+
+
+def cmd_train_tube(args):
+    _setup(args)
+    import jax
+
+    from .tube.datasets import (
+        RolloutData,
+        scalar_horizon_tube_dataset,
+        scalar_tube_dataset,
+    )
+    from .tube.losses import scalar_tube_loss
+    from .tube.models import MLP
+    from .tube.train import TrainConfig, train_tube
+
+    raw = np.load(args.data)
+    data = RolloutData(z=raw["z"], v=raw["v"], pz_x=raw["pz_x"],
+                       done=raw["done"])
+    if args.oneshot:
+        ds = scalar_horizon_tube_dataset(data, H_fwd=args.H_fwd,
+                                         H_rev=args.H_rev)
+    else:
+        ds = scalar_tube_dataset(data, N=args.window, dN=1)
+    model = MLP.create(jax.random.PRNGKey(args.seed), ds.input_dim,
+                       ds.output_dim, num_units=128, num_layers=2)
+    res = train_tube(
+        ds, model,
+        lambda fw, w, d: scalar_tube_loss(fw, w, d, alpha=args.alpha),
+        TrainConfig(epochs=args.epochs, batch_size=1024),
+    )
+    final = [h for h in res.history if "coverage" in h][-1]
+    print(json.dumps({"final": final}))
+    if args.out:
+        import pickle
+
+        with open(args.out, "wb") as f:
+            pickle.dump(jax.tree.map(np.asarray, res.best_model), f)
+        print(f"saved tube model -> {args.out}")
+
+
+def _make_problem(args):
+    import jax.numpy as jnp
+
+    from .core import make_rom
+    from .solver import PROBLEM_DICT, TrajOptParams
+
+    prob = PROBLEM_DICT[args.problem]
+    pm = make_rom("SingleInt2D", prob["dt"], [-prob["pos_max"]] * 2,
+                  [prob["pos_max"]] * 2, [-prob["vel_max"]] * 2,
+                  [prob["vel_max"]] * 2)
+    p = TrajOptParams.create(
+        pm, args.N, args.H_rev, 10 * np.eye(2), 10 * np.eye(2),
+        prob["start"], prob["goal"], prob["obs"]["c"], prob["obs"]["r"],
+        Qw=0.0, w_max=1.0,
+    )
+    return prob, p
+
+
+def cmd_plan(args):
+    _setup(args)
+    from .solver import get_tube_dynamics, solve_nominal, solve_tube
+
+    prob, p = _make_problem(args)
+    if args.nominal:
+        z, v, sol = solve_nominal(p, args.N, warm_start="interpolate")
+        w = None
+    else:
+        tube_fn = get_tube_dynamics(args.tube_dyn, args.N, scaling=0.5)
+        out = solve_tube(p, tube_fn, args.N, args.H_rev,
+                         warm_start="nominal", tube_ws="evaluate")
+        z, v, w, sol = out.z, out.v, out.w, out.sol
+    print(json.dumps({
+        "viol": float(sol.viol), "obj": float(sol.obj),
+        "converged": bool(sol.converged),
+    }))
+    if args.out:
+        payload = {"z": np.asarray(z), "v": np.asarray(v),
+                   "z0": prob["start"], "zf": prob["goal"],
+                   "obs_c": prob["obs"]["c"], "obs_r": prob["obs"]["r"]}
+        if w is not None:
+            payload["w"] = np.asarray(w)
+        _save_mat_or_npz(args.out, payload)
+        print(f"saved plan -> {args.out}")
+
+
+def cmd_mpc(args):
+    _setup(args)
+    import jax
+
+    from .core import DoubleInt2D
+    from .solver import get_tube_dynamics
+    from .solver.mpc import MPCConfig, closed_loop_tube_mpc
+
+    prob, p = _make_problem(args)
+    robot = DoubleInt2D.create(
+        prob["dt"], [-np.inf, -np.inf, -0.3, -0.3],
+        [np.inf, np.inf, 0.3, 0.3], [-0.5, -0.5], [0.5, 0.5],
+    )
+    tube_fn = get_tube_dynamics(args.tube_dyn, args.N, scaling=0.5)
+    mpc = MPCConfig(H=args.H, N=args.N, H_rev=args.H_rev)
+    trace = jax.jit(
+        lambda p: closed_loop_tube_mpc(p, tube_fn, robot, mpc)
+    )(p)
+    z = np.asarray(trace.z)
+    print(json.dumps({
+        "goal_dist": float(np.linalg.norm(z[-1] - prob["goal"])),
+        "max_resolve_viol": float(np.asarray(trace.viol).max()),
+        "tracking_err_max": float(
+            np.abs(z - np.asarray(trace.pz_x)).max()
+        ),
+    }))
+    if args.out:
+        # .mat export parity (ref tube_planning_closed_loop.py:170-188).
+        _save_mat_or_npz(args.out, {
+            "z": z, "v": np.asarray(trace.v), "w": np.asarray(trace.w),
+            "pz_x": np.asarray(trace.pz_x),
+            "z_sol": np.asarray(trace.z_sol),
+            "v_sol": np.asarray(trace.v_sol),
+            "w_sol": np.asarray(trace.w_sol),
+            "z0": prob["start"], "zf": prob["goal"],
+            "obs_x": prob["obs"]["c"][:, 0], "obs_y": prob["obs"]["c"][:, 1],
+            "obs_r": prob["obs"]["r"],
+        })
+        print(f"saved closed-loop trace -> {args.out}")
+
+
+def _save_mat_or_npz(path, payload):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if path.endswith(".mat"):
+        from scipy.io import savemat
+
+        savemat(path, payload)
+    else:
+        np.savez(path, **payload)
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(prog="legged_gym_dev_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--cpu", action="store_true",
+                       help="force CPU (virtual 8-device mesh)")
+        p.add_argument("--seed", type=int, default=0)
+
+    t = sub.add_parser("train")
+    common(t)
+    t.add_argument("--task", default="hopper_trajectory")
+    t.add_argument("--num-envs", type=int, default=4096)
+    t.add_argument("--max-iterations", type=int, default=1500)
+    t.add_argument("--log-root", default="logs")
+    t.add_argument("--run-name", default="")
+    t.add_argument("--resume", action="store_true")
+    t.add_argument("--load", default="latest")
+    t.set_defaults(fn=cmd_train)
+
+    pl = sub.add_parser("play")
+    common(pl)
+    pl.add_argument("--task", default="hopper_trajectory")
+    pl.add_argument("--num-envs", type=int, default=1)
+    pl.add_argument("--steps", type=int, default=1000)
+    pl.add_argument("--load", default="")
+    pl.add_argument("--checkpoint", default="latest")
+    pl.add_argument("--log-root", default="logs")
+    pl.add_argument("--export", default="")
+    pl.add_argument("--plot", default="")
+    pl.set_defaults(fn=cmd_play)
+
+    c = sub.add_parser("collect")
+    common(c)
+    c.add_argument("--num-envs", type=int, default=1024)
+    c.add_argument("--epochs", type=int, default=4)
+    c.add_argument("--episode-length-s", type=float, default=8.0)
+    c.add_argument("--out", default="data/rollouts.npz")
+    c.set_defaults(fn=cmd_collect)
+
+    tt = sub.add_parser("train-tube")
+    common(tt)
+    tt.add_argument("--data", default="data/rollouts.npz")
+    tt.add_argument("--epochs", type=int, default=100)
+    tt.add_argument("--alpha", type=float, default=0.9)
+    tt.add_argument("--window", type=int, default=3)
+    tt.add_argument("--oneshot", action="store_true")
+    tt.add_argument("--H-fwd", type=int, default=50)
+    tt.add_argument("--H-rev", type=int, default=10)
+    tt.add_argument("--out", default="")
+    tt.set_defaults(fn=cmd_train_tube)
+
+    for name, fn in [("plan", cmd_plan), ("mpc", cmd_mpc)]:
+        s = sub.add_parser(name)
+        common(s)
+        s.add_argument("--problem", default="gap",
+                       choices=["gap", "right", "right_wide"])
+        s.add_argument("--tube-dyn", default="l1",
+                       choices=["l1", "l2", "l1_rolling", "l2_rolling"])
+        s.add_argument("--N", type=int, default=50)
+        s.add_argument("--H-rev", type=int, default=10)
+        s.add_argument("--out", default="")
+        if name == "plan":
+            s.add_argument("--nominal", action="store_true")
+        else:
+            s.add_argument("--H", type=int, default=75)
+        s.set_defaults(fn=fn)
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

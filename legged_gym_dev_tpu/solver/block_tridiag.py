@@ -32,10 +32,63 @@ class BTFactorization(NamedTuple):
     L: jax.Array        # (S-1, b, b) original sub-diagonal blocks
 
 
+def small_cholesky(M: jax.Array) -> jax.Array:
+    """Unrolled Cholesky for small static b (..., b, b).
+
+    XLA's batched `cholesky` custom call is pathologically slow for tiny
+    blocks on TPU (it dominated the whole tube solve); the unrolled
+    elementwise form fuses into a handful of VPU kernels instead.
+    """
+    b = M.shape[-1]
+    cols = []
+    for j in range(b):
+        acc = M[..., :, j]
+        for k in range(j):
+            acc = acc - cols[k] * cols[k][..., j:j + 1]
+        d = jnp.sqrt(jnp.clip(acc[..., j], 1e-12))
+        col = acc / d[..., None]
+        # zero the strictly-upper part of this column
+        mask = jnp.arange(b) >= j
+        cols.append(col * mask)
+    return jnp.stack(cols, axis=-1)
+
+
+def _tri_solve_lower(Lm: jax.Array, rhs: jax.Array) -> jax.Array:
+    """Solve L y = rhs with lower-triangular L (..., b, b), rhs (..., b[, k]).
+    Unrolled over the static block size for fusion."""
+    b = Lm.shape[-1]
+    vec = rhs.ndim == Lm.ndim - 1
+    if vec:
+        rhs = rhs[..., None]
+    ys = []
+    for i in range(b):
+        acc = rhs[..., i, :]
+        for k in range(i):
+            acc = acc - Lm[..., i, k][..., None] * ys[k]
+        ys.append(acc / Lm[..., i, i][..., None])
+    y = jnp.stack(ys, axis=-2)
+    return y[..., 0] if vec else y
+
+
+def _tri_solve_upper_t(Lm: jax.Array, rhs: jax.Array) -> jax.Array:
+    """Solve L^T x = rhs (L lower-triangular), unrolled."""
+    b = Lm.shape[-1]
+    vec = rhs.ndim == Lm.ndim - 1
+    if vec:
+        rhs = rhs[..., None]
+    xs = [None] * b
+    for i in reversed(range(b)):
+        acc = rhs[..., i, :]
+        for k in range(i + 1, b):
+            acc = acc - Lm[..., k, i][..., None] * xs[k]
+        xs[i] = acc / Lm[..., i, i][..., None]
+    x = jnp.stack(xs, axis=-2)
+    return x[..., 0] if vec else x
+
+
 def _chol_solve(c, rhs):
     """Solve with a precomputed lower-triangular Cholesky factor."""
-    y = jax.scipy.linalg.solve_triangular(c, rhs, lower=True)
-    return jax.scipy.linalg.solve_triangular(c.T, y, lower=False)
+    return _tri_solve_upper_t(c, _tri_solve_lower(c, rhs))
 
 
 def block_tridiag_factor(D: jax.Array, L: jax.Array) -> BTFactorization:
@@ -52,10 +105,10 @@ def block_tridiag_factor(D: jax.Array, L: jax.Array) -> BTFactorization:
         # W = S_{k-1}^{-1} L_{k-1}^T  via two triangular solves.
         W = _chol_solve(prev_chol, jnp.swapaxes(Lk_1, -1, -2))
         Sk = Dk - Lk_1 @ W
-        ck = jnp.linalg.cholesky(Sk)
+        ck = small_cholesky(Sk)
         return ck, ck
 
-    c0 = jnp.linalg.cholesky(D[0])
+    c0 = small_cholesky(D[0])
     _, chol_rest = jax.lax.scan(body, c0, (D[1:], L))
     chol = jnp.concatenate([c0[None], chol_rest], axis=0)
     return BTFactorization(chol=chol, L=L)
