@@ -73,6 +73,37 @@ class HopperDR:
 
 
 @struct.dataclass
+class CurriculumTables:
+    """Stage-indexed multiplier tables (ref legged_robot_trajectory.py:
+    519-555 update_command_curriculum; hopper_trajectory_config.py:216-258).
+
+    Stage advances when the global step counter crosses the configured
+    thresholds; every affected quantity is nominal * table[stage], evaluated
+    dynamically under jit."""
+
+    push_magnitude: jax.Array      # (S,)
+    push_time: jax.Array           # (S,)
+    rom_v: jax.Array               # (S,)
+    sigma_tracking_rom: jax.Array  # (S,)
+    reward_mult: jax.Array         # (S,) applied to all reward terms
+    t_samp: jax.Array              # (S,) hold-time multiplier
+    steps: tuple = struct.field(pytree_node=False, default=(2500, 5000))
+    enabled: bool = struct.field(pytree_node=False, default=False)
+
+    @classmethod
+    def default(cls):
+        # ref hopper_trajectory_config.py curriculum tables (3 stages).
+        return cls(
+            push_magnitude=jnp.asarray([0.1, 0.5, 1.0]),
+            push_time=jnp.asarray([3.0, 2.0, 1.0]),
+            rom_v=jnp.asarray([0.5, 0.75, 1.0]),
+            sigma_tracking_rom=jnp.asarray([1.0, 0.8, 0.6]),
+            reward_mult=jnp.asarray([1.0, 1.0, 1.0]),
+            t_samp=jnp.asarray([3.0, 2.0, 1.0]),
+        )
+
+
+@struct.dataclass
 class HopperEnvState:
     key: jax.Array
     robot: RobotState
@@ -86,6 +117,8 @@ class HopperEnvState:
     episode_step: jax.Array      # (B,)
     episode_sums: Dict[str, jax.Array]
     dr: HopperDR
+    curriculum_stage: jax.Array      # () int32
+    common_step: jax.Array           # () int32 global step counter
 
 
 @struct.dataclass
@@ -112,6 +145,7 @@ class HopperTrajectoryEnv:
     reward_weighting: jax.Array    # (2,) ROM weighting (position)
     tracking_sigma: jax.Array      # ()
     raibert: RaibertHeuristic
+    curriculum: CurriculumTables = None
     reward_scales: tuple = struct.field(pytree_node=False, default=())
     diff_err_slopes: tuple = struct.field(pytree_node=False,
                                           default=(-4.0, -1.0))
@@ -315,6 +349,8 @@ class HopperTrajectoryEnv:
             episode_sums={name: jnp.zeros((B,))
                           for name, _ in self.reward_scales},
             dr=zero_dr,
+            curriculum_stage=jnp.asarray(0, jnp.int32),
+            common_step=jnp.asarray(0, jnp.int32),
         )
         state = self._do_reset(state, jnp.ones((B,), bool))
         return state, self._obs(state)
@@ -326,7 +362,7 @@ class HopperTrajectoryEnv:
         robot = self._reset_robot(state, mask, k1)
         dr = self._resample_dr(state.dr, mask, k2)
         p_zx = self.rom.proj_z(robot.root_states)
-        tg = self.traj_gen.reset(state.traj_gen, mask, p_zx)
+        tg = self._traj_gen_cur(state).reset(state.traj_gen, mask, p_zx)
         B = self.num_envs
         zero_action = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (B, 1))
         return state.replace(
@@ -344,18 +380,41 @@ class HopperTrajectoryEnv:
             dr=dr,
         )
 
+    def _cur(self, state: HopperEnvState, table: jax.Array) -> jax.Array:
+        """Current curriculum multiplier (1.0 when disabled)."""
+        if self.curriculum is None or not self.curriculum.enabled:
+            return jnp.asarray(1.0)
+        return table[jnp.clip(state.curriculum_stage, 0,
+                              table.shape[0] - 1)]
+
+    def _traj_gen_cur(self, state: HopperEnvState) -> TrajectoryGenerator:
+        """Trajectory generator with curriculum-scaled ROM input bounds and
+        hold times (ref :533-546)."""
+        if self.curriculum is None or not self.curriculum.enabled:
+            return self.traj_gen
+        mv = self._cur(state, self.curriculum.rom_v)
+        mt = self._cur(state, self.curriculum.t_samp)
+        rom = self.rom.replace(v_min=self.rom.v_min * mv,
+                               v_max=self.rom.v_max * mv)
+        ts = self.traj_gen.t_sampler
+        ts = ts.replace(t_low=ts.t_low * mt, t_high=ts.t_high * mt)
+        return self.traj_gen.replace(rom=rom, t_sampler=ts)
+
     # ---- rewards --------------------------------------------------------
     def _rewards(self, state: HopperEnvState, robot: RobotState,
                  actions, torques, term_contact) -> Dict[str, jax.Array]:
         desired = state.trajectory[:, 0, :]
         pz_x = self.rom.proj_z(robot.root_states)
         sq_err = jnp.square(pz_x - desired)
+        sigma = self.tracking_sigma * self._cur(
+            state, self.curriculum.sigma_tracking_rom
+        ) if self.curriculum is not None else self.tracking_sigma
 
         out = {}
         for name, _ in self.reward_scales:
             if name == "tracking_rom":
                 err = sq_err @ self.reward_weighting
-                out[name] = jnp.exp(-err / self.tracking_sigma)
+                out[name] = jnp.exp(-err / sigma)
             elif name == "differential_error":
                 err = jnp.linalg.norm(sq_err, axis=-1)
                 diff = err - jnp.linalg.norm(state.prev_error, axis=-1)
@@ -425,9 +484,10 @@ class HopperTrajectoryEnv:
         )
         torques = self._compute_torques(state, robot)
 
-        # Trajectory generator tick at the policy rate.
-        tg = self.traj_gen.step(state.traj_gen)
-        trajectory = self.traj_gen.get_trajectory(tg)[..., :2]
+        # Trajectory generator tick at the policy rate (curriculum-scaled).
+        tgen = self._traj_gen_cur(state)
+        tg = tgen.step(state.traj_gen)
+        trajectory = tgen.get_trajectory(tg)[..., :2]
         mid = state.replace(robot=robot, traj_gen=tg, trajectory=trajectory)
 
         # Termination: bad contacts or time limit.
@@ -465,12 +525,21 @@ class HopperTrajectoryEnv:
             for k, v in episode_sums.items()
         }
 
-        # Periodic pushes (ref legged_robot_trajectory.py:169-178).
-        push_interval = int(round(self.push_interval_s / self.dt))
+        # Periodic pushes, curriculum-scaled (ref :169-178, :527-529).
+        push_mag = self.max_push_vel * self._cur(
+            state, self.curriculum.push_magnitude
+        ) if self.curriculum is not None else self.max_push_vel
+        push_t = self._cur(
+            state, self.curriculum.push_time
+        ) if self.curriculum is not None else 1.0
+        push_interval = jnp.maximum(
+            (jnp.asarray(self.push_interval_s / self.dt) * push_t)
+            .astype(jnp.int32), 1,
+        )
         key, kp = jax.random.split(state.key)
         do_push = (episode_step % push_interval) == 0
-        push_vel = jax.random.uniform(kp, (B, 2), minval=-self.max_push_vel,
-                                      maxval=self.max_push_vel)
+        push_vel = jax.random.uniform(kp, (B, 2), minval=-push_mag,
+                                      maxval=push_mag)
         v_new = robot.v.at[:, :2].add(
             jnp.where(do_push[:, None], push_vel, 0.0)
         )
@@ -478,9 +547,21 @@ class HopperTrajectoryEnv:
 
         desired = trajectory[:, 0, :]
         pz_x = self.rom.proj_z(robot.root_states)
+        # Curriculum stage advance on global step thresholds (ref
+        # legged_robot.py:359-363).
+        common_step = state.common_step + 1
+        stage = state.curriculum_stage
+        if self.curriculum is not None and self.curriculum.enabled:
+            thresholds = jnp.asarray(self.curriculum.steps, jnp.int32)
+            stage = jnp.sum(
+                (common_step >= thresholds).astype(jnp.int32)
+            )
+
         new_state = mid.replace(
             key=key,
             robot=robot,
+            curriculum_stage=stage,
+            common_step=common_step,
             last_actions=actions,
             last_dof_vel=robot.v[:, 6:],
             torques=torques,

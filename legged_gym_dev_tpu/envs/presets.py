@@ -151,9 +151,169 @@ def make_rom_tracking_env(num_envs: int = 4096, episode_length_s: float = 8.0,
     )
 
 
+A1_URDF = "/root/reference/resources/robots/a1/urdf/a1.urdf"
+ANYMAL_C_URDF = "/root/reference/resources/robots/anymal_c/urdf/anymal_c.urdf"
+ANYMAL_B_URDF = "/root/reference/resources/robots/anymal_b/urdf/anymal_b.urdf"
+CASSIE_URDF = "/root/reference/resources/robots/cassie/urdf/cassie.urdf"
+
+# ref a1_config.py:36-50 default joint angles (URDF joint order: FR FL RR RL).
+A1_DEFAULT_ANGLES = {
+    "FR_hip_joint": -0.1, "FR_thigh_joint": 0.8, "FR_calf_joint": -1.5,
+    "FL_hip_joint": 0.1, "FL_thigh_joint": 0.8, "FL_calf_joint": -1.5,
+    "RR_hip_joint": -0.1, "RR_thigh_joint": 1.0, "RR_calf_joint": -1.5,
+    "RL_hip_joint": 0.1, "RL_thigh_joint": 1.0, "RL_calf_joint": -1.5,
+}
+
+# Canonical rough-terrain locomotion scales (upstream legged_gym defaults +
+# a1_config.py overrides: torques, dof_pos_limits).
+A1_REWARD_SCALES = (
+    ("tracking_lin_vel", 1.0),
+    ("tracking_ang_vel", 0.5),
+    ("lin_vel_z", -2.0),
+    ("ang_vel_xy", -0.05),
+    ("torques", -0.0002),
+    ("dof_acc", -2.5e-7),
+    ("feet_air_time", 1.0),
+    ("collision", -1.0),
+    ("action_rate", -0.01),
+    ("dof_pos_limits", -10.0),
+    ("termination", -0.0),
+)
+
+
+def make_velocity_env(urdf_path: str, num_envs: int = 4096,
+                      default_angles: dict = A1_DEFAULT_ANGLES,
+                      p_gain: float = 20.0, d_gain: float = 0.5,
+                      action_scale: float = 0.25,
+                      base_height: float = 0.42,
+                      base_height_target: float = 0.25,
+                      foot_name: str = "foot",
+                      penalize_on=("thigh", "calf"),
+                      terminate_on=("base", "trunk"),
+                      reward_scales=A1_REWARD_SCALES,
+                      add_noise: bool = True,
+                      episode_length_s: float = 20.0,
+                      terrain=None):
+    """Velocity-command task for any URDF robot (ref legged_robot.py)."""
+    from .legged_robot_velocity import (
+        LeggedRobotVelocityEnv,
+        classify_contacts,
+    )
+
+    spec = parse_urdf(urdf_path)
+    model = RobotModel.from_spec(spec)
+    terrain_fn = terrain.make_terrain_fn() if terrain is not None else None
+    sim = RobotSim.create(
+        model,
+        contact=ContactParams.create(stiffness=5000.0, damping=50.0),
+        dt=0.005, decimation=4,
+        **({"terrain_fn": terrain_fn} if terrain_fn else {}),
+    )
+    default_dof = jnp.asarray(
+        [default_angles.get(n, 0.0) for n in model.dof_names], jnp.float32
+    )
+    feet, pen, term = classify_contacts(model, foot_name, penalize_on,
+                                        terminate_on)
+    nj = model.nj
+    # ref noise scales (legged_robot_config noise block) x obs scales.
+    noise_vec = jnp.concatenate([
+        0.1 * 2.0 * jnp.ones(3),      # lin vel
+        0.2 * 0.25 * jnp.ones(3),     # ang vel
+        0.05 * jnp.ones(3),           # gravity
+        jnp.zeros(3),                 # commands
+        0.01 * jnp.ones(nj),          # dof pos
+        1.5 * 0.05 * jnp.ones(nj),    # dof vel
+        jnp.zeros(nj),                # actions
+    ])
+    return LeggedRobotVelocityEnv(
+        sim=sim,
+        default_dof_pos=default_dof,
+        p_gains=jnp.full((nj,), p_gain),
+        d_gains=jnp.full((nj,), d_gain),
+        base_init_pos=jnp.asarray([0.0, 0.0, base_height]),
+        obs_scales=jnp.ones(1),  # scales applied inline
+        noise_vec=noise_vec,
+        # ref commands block: lin_vel_x/y [-1, 1], ang_vel [-1, 1],
+        # heading [-pi, pi] (legged_robot_config.py:82-95).
+        init_command_ranges=jnp.asarray(
+            [[-1.0, 1.0], [-1.0, 1.0], [-1.0, 1.0],
+             [-np.pi, np.pi]], jnp.float32,
+        ),
+        tracking_sigma=jnp.asarray(0.25),
+        base_height_target=jnp.asarray(base_height_target),
+        max_contact_force=jnp.asarray(100.0),
+        soft_dof_vel_limit=jnp.asarray(1.0),
+        soft_torque_limit=jnp.asarray(1.0),
+        action_scale=action_scale,
+        reward_scales=tuple(reward_scales),
+        feet_spheres=feet,
+        penalized_spheres=pen,
+        termination_spheres=term,
+        add_noise=add_noise,
+        episode_length_s=episode_length_s,
+        num_envs=num_envs,
+    )
+
+
+def make_a1_env(**kw):
+    return make_velocity_env(A1_URDF, **kw)
+
+
+def make_anymal_c_env(**kw):
+    kw.setdefault("default_angles", {
+        "LF_HAA": 0.0, "LF_HFE": 0.4, "LF_KFE": -0.8,
+        "RF_HAA": 0.0, "RF_HFE": 0.4, "RF_KFE": -0.8,
+        "LH_HAA": 0.0, "LH_HFE": -0.4, "LH_KFE": 0.8,
+        "RH_HAA": 0.0, "RH_HFE": -0.4, "RH_KFE": 0.8,
+    })
+    kw.setdefault("p_gain", 80.0)
+    kw.setdefault("d_gain", 2.0)
+    kw.setdefault("action_scale", 0.5)
+    kw.setdefault("base_height", 0.6)
+    kw.setdefault("base_height_target", 0.5)
+    kw.setdefault("foot_name", "FOOT")
+    kw.setdefault("penalize_on", ("SHANK", "THIGH"))
+    kw.setdefault("terminate_on", ("base",))
+    return make_velocity_env(ANYMAL_C_URDF, **kw)
+
+
+ACTUATOR_NET_PATH = (
+    "/root/reference/resources/actuator_nets/anydrive_v3_lstm.pt"
+)
+
+
+def make_anymal_c_lstm_env(**kw):
+    """ANYmal C with the ANYdrive LSTM actuator net replacing PD
+    (ref anymal.py:50-81, anymal_c_rough_config use_actuator_network)."""
+    from ..sim.actuator_net import ActuatorNetLSTM
+
+    env = make_anymal_c_env(**kw)
+    return env.replace(
+        actuator_net=ActuatorNetLSTM.from_torchscript(ACTUATOR_NET_PATH)
+    )
+
+
+def make_cassie_env(**kw):
+    kw.setdefault("default_angles", {})
+    kw.setdefault("p_gain", 100.0)
+    kw.setdefault("d_gain", 3.0)
+    kw.setdefault("base_height", 1.0)
+    kw.setdefault("base_height_target", 0.9)
+    kw.setdefault("foot_name", "toe")
+    kw.setdefault("penalize_on", ())
+    kw.setdefault("terminate_on", ("pelvis",))
+    # Bipeds add the single-stance 'no_fly' term (ref cassie.py:43-46) —
+    # wired in a later round with the biped reward variant.
+    return make_velocity_env(CASSIE_URDF, **kw)
+
+
 # ref PPO configs: legged_robot_config.py:255-269 + hopper [128, 64, 32] nets.
 HOPPER_PPO = PPOConfig()
 
 task_registry.register("hopper_trajectory", make_hopper_trajectory_env,
                        HOPPER_PPO)
 task_registry.register("rom_tracking", make_rom_tracking_env, PPOConfig())
+task_registry.register("a1_velocity", make_a1_env, PPOConfig())
+task_registry.register("anymal_c_velocity", make_anymal_c_env, PPOConfig())
+task_registry.register("anymal_c_lstm", make_anymal_c_lstm_env, PPOConfig())
+task_registry.register("cassie_velocity", make_cassie_env, PPOConfig())

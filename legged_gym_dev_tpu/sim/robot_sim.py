@@ -115,7 +115,13 @@ class RobotSim:
         f_gen = jnp.einsum("bcik,bci->bk", Jc, f)
 
         qdd = forward_dynamics(self.model, state, tau, f_gen)
-        return integrate(self.model, state, qdd, self.dt)
+        new = integrate(self.model, state, qdd, self.dt)
+        # Joint velocity caps enforced by clamping (PhysX enforces URDF
+        # velocity limits at the solver level; a penalty force here would be
+        # explicit and unstable for gram-scale link inertias).
+        qd = jnp.clip(new.v[..., 6:], -self.model.vel_limit,
+                      self.model.vel_limit)
+        return new.replace(v=new.v.at[..., 6:].set(qd))
 
     def step(self, state: RobotState,
              torque_fn: Callable[[RobotState], jax.Array]) -> RobotState:
@@ -127,3 +133,20 @@ class RobotSim:
 
         state, _ = jax.lax.scan(body, state, None, length=self.decimation)
         return state
+
+    def step_with_carry(self, state: RobotState, carry,
+                        torque_fn: Callable) -> tuple:
+        """Decimated step with a stateful torque controller:
+        ``torque_fn(carry, robot) -> (carry, tau)`` — e.g. the LSTM actuator
+        network whose hidden state advances every substep
+        (ref anymal.py:71-81)."""
+
+        def body(sc, _):
+            s, c = sc
+            c, tau = torque_fn(c, s)
+            return (self.substep(s, tau), c), None
+
+        (state, carry), _ = jax.lax.scan(
+            body, (state, carry), None, length=self.decimation
+        )
+        return state, carry

@@ -1,0 +1,78 @@
+"""Velocity-command env tests on the A1 quadruped (ref legged_robot.py)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from legged_gym_dev_tpu.envs import task_registry
+
+B = 8
+
+
+@pytest.fixture(scope="module")
+def env():
+    return task_registry.make_env("a1_velocity", num_envs=B, add_noise=False)
+
+
+@pytest.fixture(scope="module")
+def rolled(env):
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    hs, rews, dones = [], [], []
+    for _ in range(80):
+        state, tr = step(state, jnp.zeros((B, 12)))
+        hs.append(np.asarray(state.robot.base_pos[:, 2]))
+        rews.append(np.asarray(tr.reward))
+        dones.append(np.asarray(tr.done))
+    return env, state, tr, np.stack(hs), np.stack(rews), np.stack(dones)
+
+
+def test_obs_layout(env):
+    # 3 lin vel + 3 ang vel + 3 gravity + 3 cmd + 12 q + 12 qd + 12 actions
+    assert env.num_obs == 48
+    assert env.num_actions == 12
+    state, obs = env.reset(jax.random.PRNGKey(1))
+    assert obs.shape == (B, 48)
+    assert np.all(np.isfinite(np.asarray(obs)))
+
+
+def test_contact_classification(env):
+    # 4 feet, 8 penalized (thigh+calf), base terminates.
+    assert len(env.feet_spheres) == 4
+    assert len(env.penalized_spheres) == 8
+    assert len(env.termination_spheres) >= 1
+
+
+def test_pd_holds_default_crouch(rolled):
+    env, state, tr, hs, rews, dones = rolled
+    # With zero actions, PD targets the default pose; base settles near the
+    # 0.25m height target (a1_config.py base_height_target).
+    assert 0.18 < hs[-10:].mean() < 0.35, hs[-10:].mean()
+    assert np.all(np.isfinite(rews))
+
+
+def test_commands_resample_and_zero_small(env):
+    state, _ = env.reset(jax.random.PRNGKey(2))
+    cmd = np.asarray(state.commands)
+    # Small-norm commands zeroed (ref legged_robot.py:388).
+    norms = np.linalg.norm(cmd[:, :2], axis=-1)
+    assert np.all((norms == 0.0) | (norms >= 0.2 - 1e-6))
+
+
+def test_feet_make_contact(rolled):
+    env, state, tr, hs, rews, dones = rolled
+    f = env._contact_forces(state.robot)
+    feet_fz = np.asarray(f)[:, list(env.feet_spheres), 2]
+    # Standing robot: feet carry a large share of the weight
+    # (12.5kg * 9.81 ~ 123N; calf spheres share load in the deep crouch).
+    total = feet_fz.sum(-1)
+    assert np.all(total > 15.0), total
+    assert np.all(total < 400.0), total
+
+
+def test_reward_terms_all_computable(env):
+    state, _ = env.reset(jax.random.PRNGKey(3))
+    state, tr = env.step(state, jnp.zeros((B, 12)))
+    for k in dict(env.reward_scales):
+        assert f"rew_{k}" in tr.info["episode"], k
