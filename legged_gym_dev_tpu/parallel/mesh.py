@@ -1,0 +1,41 @@
+"""Device-mesh / sharding helpers for multi-chip scaling.
+
+The reference is single-GPU (a dead `--horovod` flag aside; SURVEY.md §2.2);
+this framework's parallel axis is the scenario/env batch ("dp"): solver
+scenario pytrees and env state shard over it, network parameters replicate,
+and XLA inserts the psum/all-gather collectives over ICI when the jitted
+train/solve step consumes both. DCN enters only at the multi-host scenario
+fan-out boundary (same program, larger mesh).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]).reshape(n), (axis,))
+
+
+def shard_batch(tree, mesh: Mesh, axis: str = "dp"):
+    """Shard every leaf's leading axis over the mesh; scalars replicate."""
+    dp = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 \
+                and x.shape[0] % mesh.devices.size == 0:
+            return jax.device_put(x, dp)
+        return jax.device_put(x, repl)
+
+    return jax.tree.map(put, tree)
+
+
+def replicate(tree, mesh: Mesh):
+    repl = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, repl), tree)
