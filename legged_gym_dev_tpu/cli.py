@@ -40,7 +40,27 @@ def cmd_train(args):
     from .envs import task_registry
     from .rl import ActorCritic
 
-    env = task_registry.make_env(args.task, num_envs=args.num_envs)
+    env_kw = {"num_envs": args.num_envs}
+    task = args.task
+    max_iterations = args.max_iterations
+    seed = args.seed
+    if args.config:
+        from .utils.config import apply_train_overrides, load_config
+
+        cfg = load_config(args.config)
+        task = cfg.get("task", task)
+        env_kw.update(cfg.get("env", {}))
+        run = cfg.get("run", {})
+        max_iterations = run.get("max_iterations", max_iterations)
+        seed = run.get("seed", seed)
+        if cfg.get("train"):
+            entry = task_registry.get(task)
+            entry.train_cfg = apply_train_overrides(
+                entry.train_cfg, cfg["train"]
+            )
+    args.task, args.max_iterations, args.seed = task, max_iterations, seed
+
+    env = task_registry.make_env(args.task, **env_kw)
     runner = task_registry.make_alg_runner(
         env, args.task, log_root=args.log_root, run_name=args.run_name,
         seed=args.seed, resume=args.resume, load_run=args.load,
@@ -260,6 +280,8 @@ def build_parser():
 
     t = sub.add_parser("train")
     common(t)
+    t.add_argument("--config", default="",
+                   help="YAML overlay (task/env/train/run sections)")
     t.add_argument("--task", default="hopper_trajectory")
     t.add_argument("--num-envs", type=int, default=4096)
     t.add_argument("--max-iterations", type=int, default=1500)

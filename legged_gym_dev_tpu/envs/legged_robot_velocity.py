@@ -80,6 +80,9 @@ class LeggedRobotVelocityEnv:
     max_contact_force: jax.Array
     soft_dof_vel_limit: jax.Array
     soft_torque_limit: jax.Array
+    # Per-env spawn origins (terrain grid cells, ref legged_robot.py:433-441;
+    # zeros = single shared origin on flat ground).
+    env_origins: Optional[jax.Array] = None   # (B, 3)
     actuator_net: Optional[ActuatorNetLSTM] = None
     action_scale: float = struct.field(pytree_node=False, default=0.25)
     control_type: str = struct.field(pytree_node=False, default="P")
@@ -89,6 +92,7 @@ class LeggedRobotVelocityEnv:
     push_interval_s: float = struct.field(pytree_node=False, default=15.0)
     max_push_vel: float = struct.field(pytree_node=False, default=1.0)
     add_noise: bool = struct.field(pytree_node=False, default=True)
+    command_curriculum: bool = struct.field(pytree_node=False, default=False)
     only_positive_rewards: bool = struct.field(pytree_node=False, default=True)
     reward_scales: tuple = struct.field(pytree_node=False, default=())
     feet_spheres: tuple = struct.field(pytree_node=False, default=())
@@ -231,6 +235,13 @@ class LeggedRobotVelocityEnv:
             jnp.zeros((B, nj)),
         ], axis=-1)
         base_pos = jnp.broadcast_to(self.base_init_pos, (B, 3))
+        if self.env_origins is not None:
+            # Spawn at the terrain-cell origin +-1m xy (ref :437-441).
+            k_xy = jax.random.fold_in(k2, 11)
+            base_pos = base_pos + self.env_origins + jnp.concatenate([
+                jax.random.uniform(k_xy, (B, 2), minval=-1.0, maxval=1.0),
+                jnp.zeros((B, 1)),
+            ], axis=-1)
         base_quat = jnp.broadcast_to(jnp.asarray([0.0, 0, 0, 1.0]), (B, 4))
         robot = RobotState(
             base_pos=_mwhere(mask, base_pos, robot.base_pos),
@@ -350,6 +361,12 @@ class LeggedRobotVelocityEnv:
                 out[name] = jnp.sum(
                     jnp.abs(q - self.default_dof_pos), axis=-1
                 ) * (jnp.linalg.norm(cmd[:, :2], axis=-1) < 0.1)
+            elif name == "no_fly":
+                # Single-stance reward for bipeds (ref cassie.py:43-46):
+                # reward exactly one foot in firm contact.
+                contacts = f_contact[:, feet, 2] > 0.1
+                single = jnp.sum(contacts.astype(jnp.int32), axis=-1) == 1
+                out[name] = single.astype(jnp.float32)
             elif name == "feet_contact_forces":
                 out[name] = jnp.sum(jnp.clip(
                     jnp.linalg.norm(f_contact[:, feet, :], axis=-1)
@@ -358,6 +375,27 @@ class LeggedRobotVelocityEnv:
             else:
                 raise ValueError(f"unknown reward term {name}")
         return out
+
+    def _update_command_curriculum(self, state, done, episode_sums):
+        """Expand lin-vel command ranges when tracking is good (ref
+        legged_robot.py:488-500): if the mean episode tracking reward of
+        reset envs exceeds 80% of its max, widen lin_vel_x/y by 0.5 up to
+        +-max_curriculum (5.0 here, as upstream)."""
+        if not any(n == "tracking_lin_vel" for n, _ in self.reward_scales):
+            return state.command_ranges
+        scale = dict(self.reward_scales)["tracking_lin_vel"] * self.dt
+        denom = jnp.maximum(done.sum(), 1)
+        mean_track = jnp.sum(
+            jnp.where(done, episode_sums["tracking_lin_vel"], 0.0)
+        ) / denom / self.max_episode_length
+        good = (mean_track > 0.8 * scale) & (done.sum() > 0)
+        cr = state.command_ranges
+        delta = jnp.where(good, 0.5, 0.0)
+        cr = cr.at[0, 0].set(jnp.clip(cr[0, 0] - delta, -5.0, 0.0))
+        cr = cr.at[0, 1].set(jnp.clip(cr[0, 1] + delta, 0.0, 5.0))
+        cr = cr.at[1, 0].set(jnp.clip(cr[1, 0] - delta, -5.0, 0.0))
+        cr = cr.at[1, 1].set(jnp.clip(cr[1, 1] + delta, 0.0, 5.0))
+        return cr
 
     # ---- step -----------------------------------------------------------
     def step(self, state: VelocityEnvState,
@@ -453,10 +491,15 @@ class LeggedRobotVelocityEnv:
             )
         )
 
+        command_ranges = (
+            self._update_command_curriculum(state, done, episode_sums)
+            if self.command_curriculum else state.command_ranges
+        )
         new_state = state.replace(
             key=key,
             robot=robot,
             commands=commands,
+            command_ranges=command_ranges,
             last_actions=actions,
             last_dof_vel=robot.v[:, 6:],
             feet_air_time=jnp.where(contact_filt, 0.0, air_time),

@@ -203,6 +203,19 @@ def make_velocity_env(urdf_path: str, num_envs: int = 4096,
     spec = parse_urdf(urdf_path)
     model = RobotModel.from_spec(spec)
     terrain_fn = terrain.make_terrain_fn() if terrain is not None else None
+    env_origins = None
+    if terrain is not None and terrain.type not in ("none", "plane"):
+        # Assign envs round-robin over grid cells (col = terrain type,
+        # row 0 = easiest; the terrain-level curriculum moves rows later).
+        import numpy as _np
+
+        origins = terrain.env_origins.reshape(-1, 3)
+        # World x/y offset: cell origins are relative to the grid corner at
+        # (-border, -border).
+        origins = origins - _np.asarray([terrain.cfg.border_size,
+                                         terrain.cfg.border_size, 0.0])
+        idx = _np.arange(num_envs) % origins.shape[0]
+        env_origins = jnp.asarray(origins[idx], jnp.float32)
     sim = RobotSim.create(
         model,
         contact=ContactParams.create(stiffness=5000.0, damping=50.0),
@@ -244,6 +257,7 @@ def make_velocity_env(urdf_path: str, num_envs: int = 4096,
         max_contact_force=jnp.asarray(100.0),
         soft_dof_vel_limit=jnp.asarray(1.0),
         soft_torque_limit=jnp.asarray(1.0),
+        env_origins=env_origins,
         action_scale=action_scale,
         reward_scales=tuple(reward_scales),
         feet_spheres=feet,
@@ -291,6 +305,23 @@ def make_anymal_c_lstm_env(**kw):
     return env.replace(
         actuator_net=ActuatorNetLSTM.from_torchscript(ACTUATOR_NET_PATH)
     )
+
+
+def make_adam_env(**kw):
+    """Adam biped (ref adam.py/adam_config.py). The reference checkout ships
+    NO adam URDF (resources/robots/adam/ is absent, not merely LFS-pruned),
+    so this preset — like the reference itself in this checkout — needs an
+    asset path supplied at call time; reward structure matches the cassie
+    biped (shared `no_fly` single-stance term, ref adam.py:43-46)."""
+    urdf = kw.pop("urdf_path", None)
+    if urdf is None:
+        raise FileNotFoundError(
+            "adam URDF not present in the reference checkout; pass "
+            "urdf_path= explicitly"
+        )
+    kw.setdefault("reward_scales", A1_REWARD_SCALES + (("no_fly", 0.25),))
+    kw.setdefault("terminate_on", ("base", "trunk", "pelvis"))
+    return make_velocity_env(urdf, **kw)
 
 
 def make_cassie_env(**kw):

@@ -6,14 +6,17 @@ stage recursion — Schur-complement sweep, forward and backward substitution
 — runs with all blocks resident in VMEM, eliminating the per-stage HBM
 round-trips and op-dispatch overhead of the XLA scan formulation.
 
-Layout: the batch axis is tiled over the grid; within a tile the b x b
-blocks are laid out as (TILE_B, S, b, b) arrays whose last two axes are
-small and static, so every per-stage op is a (TILE_B, b, b) elementwise/
-broadcast computation on the VPU (b <= 8; no MXU shapes at this size).
+Layout (the part that matters on TPU): arrays are stored lane-major as
+(S, b, b, B) with the scenario batch in the 128-wide lane dimension and the
+tiny b x b block indices as leading (sublane-free) axes. Every block
+operation then becomes a handful of elementwise multiply-adds over (TILE_B,)
+lane vectors — the natural VPU shape. The naive (B, S, b, b) layout pads
+each 5x5 block to an (8, 128) tile, an ~80x VMEM blowup that does not fit.
 
-The algorithm mirrors block_tridiag.py exactly (same unrolled Cholesky /
-triangular solves), so the XLA path serves as the golden reference in tests
-(interpret mode on CPU, compiled on TPU).
+The stage recursion runs as fori_loops over VMEM scratch (full unrolling of
+51 stages exceeds Mosaic's compile budget). The XLA path in
+solver/block_tridiag.py is the golden reference in tests (interpret mode on
+CPU, compiled on TPU).
 """
 from __future__ import annotations
 
@@ -31,89 +34,150 @@ except Exception:  # pragma: no cover
     _HAS_PLTPU = False
 
 
-def _chol_tile(M):
-    """Unrolled Cholesky over a (TB, b, b) tile (see
-    solver/block_tridiag.small_cholesky)."""
-    b = M.shape[-1]
-    cols = []
+# ---- lane-major block primitives: arrays are (b, b, TB) / (b, TB) ---------
+
+def _chol_lane(M, b: int):
+    """Cholesky of (b, b, TB) lane-major SPD blocks -> lower (b, b, TB)."""
+    L = [[None] * b for _ in range(b)]
     for j in range(b):
-        acc = M[..., :, j]
+        acc = [M[i, j] for i in range(b)]
         for k in range(j):
-            acc = acc - cols[k] * cols[k][..., j:j + 1]
-        d = jnp.sqrt(jnp.clip(acc[..., j], 1e-12))
-        col = acc / d[..., None]
-        mask = (jnp.arange(b) >= j).astype(M.dtype)
-        cols.append(col * mask)
-    return jnp.stack(cols, axis=-1)
+            for i in range(j, b):
+                acc[i] = acc[i] - L[i][k] * L[j][k]
+        d = jnp.sqrt(jnp.clip(acc[j], 1e-12))
+        inv_d = 1.0 / d
+        for i in range(b):
+            L[i][j] = (acc[i] * inv_d) if i >= j else jnp.zeros_like(d)
+    return L
 
 
-def _tri_lower_tile(L, rhs):
-    b = L.shape[-1]
-    vec = rhs.ndim == L.ndim - 1
-    if vec:
-        rhs = rhs[..., None]
-    ys = []
+def _tri_lower_lane(L, rhs, b: int):
+    """Solve L y = rhs; L as list-of-lists lanes, rhs list of (TB,)."""
+    y = [None] * b
     for i in range(b):
-        acc = rhs[..., i, :]
+        acc = rhs[i]
         for k in range(i):
-            acc = acc - L[..., i, k][..., None] * ys[k]
-        ys.append(acc / L[..., i, i][..., None])
-    y = jnp.stack(ys, axis=-2)
-    return y[..., 0] if vec else y
+            acc = acc - L[i][k] * y[k]
+        y[i] = acc / L[i][i]
+    return y
 
 
-def _tri_upper_t_tile(L, rhs):
-    b = L.shape[-1]
-    vec = rhs.ndim == L.ndim - 1
-    if vec:
-        rhs = rhs[..., None]
-    xs = [None] * b
+def _tri_upper_t_lane(L, rhs, b: int):
+    x = [None] * b
     for i in reversed(range(b)):
-        acc = rhs[..., i, :]
+        acc = rhs[i]
         for k in range(i + 1, b):
-            acc = acc - L[..., k, i][..., None] * xs[k]
-        xs[i] = acc / L[..., i, i][..., None]
-    x = jnp.stack(xs, axis=-2)
-    return x[..., 0] if vec else x
+            acc = acc - L[k][i] * x[k]
+        x[i] = acc / L[i][i]
+    return x
 
 
-def _chol_solve_tile(c, rhs):
-    return _tri_upper_t_tile(c, _tri_lower_tile(c, rhs))
+def _chol_solve_lane(L, rhs, b: int):
+    return _tri_upper_t_lane(L, _tri_lower_lane(L, rhs, b), b)
 
 
-def _bt_kernel(D_ref, L_ref, rhs_ref, x_ref, *, S: int, b: int):
-    """Factor + solve for one batch tile, fully VMEM-resident."""
-    D = D_ref[...]
-    L = L_ref[...]
-    rhs = rhs_ref[...]
+def _bt_kernel(D_ref, L_ref, rhs_ref, x_ref, chol_ref, y_ref, *, S: int,
+               b: int):
+    """Factor + solve for one lane tile. Refs are (S, b, b, TB) / (S, b, TB);
+    scratch chol (S, b, b, TB), y (S, b, TB)."""
 
-    # Forward Schur sweep + forward substitution fused per stage.
-    chol_prev = _chol_tile(D[:, 0])
-    y_prev = _chol_solve_tile(chol_prev, rhs[:, 0])
-    chols = [chol_prev]
-    ys = [y_prev]
-    for k in range(1, S):
-        Lk = L[:, k - 1]
-        W = _chol_solve_tile(chol_prev, jnp.swapaxes(Lk, -1, -2))
-        Sk = D[:, k] - Lk @ W
-        chol_prev = _chol_tile(Sk)
-        y_prev = _chol_solve_tile(
-            chol_prev, rhs[:, k] - jnp.einsum("tij,tj->ti", Lk, y_prev)
-        )
-        chols.append(chol_prev)
-        ys.append(y_prev)
+    def load_block(ref, k):
+        return [[ref[k, i, j] for j in range(b)] for i in range(b)]
 
-    # Backward substitution.
-    x_next = ys[-1]
-    xs = [x_next]
-    for k in range(S - 2, -1, -1):
-        Lk = L[:, k]
-        x_next = ys[k] - _chol_solve_tile(
-            chols[k], jnp.einsum("tji,tj->ti", Lk, x_next)
-        )
-        xs.append(x_next)
-    xs.reverse()
-    x_ref[...] = jnp.stack(xs, axis=1)
+    def store_block(ref, k, Lm):
+        for i in range(b):
+            for j in range(b):
+                ref[k, i, j] = Lm[i][j]
+
+    def load_vec(ref, k):
+        return [ref[k, i] for i in range(b)]
+
+    def store_vec(ref, k, v):
+        for i in range(b):
+            ref[k, i] = v[i]
+
+    c0 = _chol_lane(jnp.stack([jnp.stack([D_ref[0, i, j] for j in range(b)])
+                               for i in range(b)]), b) \
+        if False else _chol_lane_from_ref(D_ref, 0, b)
+    store_block(chol_ref, 0, c0)
+    store_vec(y_ref, 0, _chol_solve_lane(c0, load_vec(rhs_ref, 0), b))
+
+    def fwd(k, _):
+        Lk = load_block(L_ref, k - 1)
+        chol_prev = load_block(chol_ref, k - 1)
+        # W = S_{k-1}^{-1} L_k^T, column by column.
+        W = [[None] * b for _ in range(b)]
+        for c in range(b):
+            col = _chol_solve_lane(chol_prev, [Lk[c][i] for i in range(b)], b)
+            for r in range(b):
+                W[r][c] = col[r]
+        # S_k = D_k - L_k W
+        Sk = [[D_ref[k, i, j] for j in range(b)] for i in range(b)]
+        for i in range(b):
+            for j in range(b):
+                acc = Sk[i][j]
+                for t in range(b):
+                    acc = acc - Lk[i][t] * W[t][j]
+                Sk[i][j] = acc
+        ck = _chol_lane_from_rows(Sk, b)
+        store_block(chol_ref, k, ck)
+        # y_k = S_k^{-1} (rhs_k - L_k y_{k-1})
+        y_prev = load_vec(y_ref, k - 1)
+        r = []
+        for i in range(b):
+            acc = rhs_ref[k, i]
+            for t in range(b):
+                acc = acc - Lk[i][t] * y_prev[t]
+            r.append(acc)
+        store_vec(y_ref, k, _chol_solve_lane(ck, r, b))
+        return 0
+
+    jax.lax.fori_loop(1, S, fwd, 0)
+
+    store_vec(x_ref, S - 1, load_vec(y_ref, S - 1))
+
+    def bwd(idx, _):
+        k = S - 2 - idx
+        Lk = load_block(L_ref, k)
+        x_next = load_vec(x_ref, k + 1)
+        # rhs = L_k^T x_{k+1}
+        r = []
+        for i in range(b):
+            acc = Lk[0][i] * x_next[0]
+            for t in range(1, b):
+                acc = acc + Lk[t][i] * x_next[t]
+            r.append(acc)
+        corr = _chol_solve_lane(load_block(chol_ref, k), r, b)
+        yk = load_vec(y_ref, k)
+        store_vec(x_ref, k, [yk[i] - corr[i] for i in range(b)])
+        return 0
+
+    jax.lax.fori_loop(0, S - 1, bwd, 0)
+
+
+def _chol_lane_from_ref(ref, k, b: int):
+    return _chol_lane_from_rows(
+        [[ref[k, i, j] for j in range(b)] for i in range(b)], b
+    )
+
+
+def _chol_lane_from_rows(M, b: int):
+    L = [[None] * b for _ in range(b)]
+    for j in range(b):
+        acc = [M[i][j] for i in range(b)]
+        for k in range(j):
+            for i in range(j, b):
+                acc[i] = acc[i] - L[i][k] * L[j][k]
+        d = jnp.sqrt(jnp.clip(acc[j], 1e-12))
+        inv_d = 1.0 / d
+        for i in range(b):
+            L[i][j] = (acc[i] * inv_d) if i >= j else jnp.zeros_like(d)
+    return L
+
+
+def _chol_lane(M, b: int):  # kept for API symmetry / tests
+    rows = [[M[i, j] for j in range(b)] for i in range(b)]
+    return _chol_lane_from_rows(rows, b)
 
 
 def block_tridiag_solve_pallas(D: jax.Array, L: jax.Array, rhs: jax.Array,
@@ -122,28 +186,57 @@ def block_tridiag_solve_pallas(D: jax.Array, L: jax.Array, rhs: jax.Array,
     """Solve T x = rhs for a batch of block-tridiagonal SPD systems.
 
     D: (B, S, b, b); L: (B, S-1, b, b); rhs: (B, S, b) -> x (B, S, b).
+    Internally transposed to lane-major (S, b, b, B).
     """
     B, S, b, _ = D.shape
     tile_b = min(tile_b, B)
     assert B % tile_b == 0, (B, tile_b)
-    grid = (B // tile_b,)
+    # 2D lane layout: batch -> (rows, 128) so each per-block-scalar op is a
+    # (rows, 128) register tile (full sublane+lane utilization); a flat (TB,)
+    # layout would occupy a single sublane per op.
+    LANES = 128 if B % 128 == 0 else 1
+    rows_total = B // LANES
+    tile_rows = max(1, tile_b // LANES)
+    if rows_total % tile_rows != 0:
+        tile_rows = rows_total
+    grid = (rows_total // tile_rows,)
+
+    def to_lane(x, trailing):
+        # (B, S, ...) -> (S, ..., rows, 128)
+        xt = jnp.moveaxis(x, 0, -1)
+        return xt.reshape(xt.shape[:-1] + (rows_total, LANES))
+
+    Dt = to_lane(D, 2)
+    Lt = to_lane(L, 2)
+    rt = to_lane(rhs, 1)
     kernel = functools.partial(_bt_kernel, S=S, b=b)
     kw = {}
-    if _HAS_PLTPU and not interpret:
-        kw["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=int(1.2 * 4 * tile_b * S * (2 * b * b + 2 * b))
-            + (1 << 20),
-        )
-    return pl.pallas_call(
+    scratch = []
+    if _HAS_PLTPU:
+        scratch = [
+            pltpu.VMEM((S, b, b, tile_rows, LANES), D.dtype),
+            pltpu.VMEM((S, b, tile_rows, LANES), D.dtype),
+        ]
+        if not interpret:
+            kw["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=(32 << 20),
+            )
+    xt = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, S, b), D.dtype),
+        out_shape=jax.ShapeDtypeStruct((S, b, rows_total, LANES), D.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile_b, S, b, b), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((tile_b, S - 1, b, b), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((tile_b, S, b), lambda i: (i, 0, 0)),
+            pl.BlockSpec((S, b, b, tile_rows, LANES),
+                         lambda i: (0, 0, 0, i, 0)),
+            pl.BlockSpec((S - 1, b, b, tile_rows, LANES),
+                         lambda i: (0, 0, 0, i, 0)),
+            pl.BlockSpec((S, b, tile_rows, LANES), lambda i: (0, 0, i, 0)),
         ],
-        out_specs=pl.BlockSpec((tile_b, S, b), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((S, b, tile_rows, LANES),
+                               lambda i: (0, 0, i, 0)),
+        scratch_shapes=scratch,
         interpret=interpret,
         **kw,
-    )(D, L, rhs)
+    )(Dt, Lt, rt)
+    xt = xt.reshape(S, b, B)
+    return jnp.moveaxis(xt, -1, 0)

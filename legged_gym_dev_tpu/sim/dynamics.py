@@ -312,6 +312,11 @@ def bias_forces(model, state: "RobotState"):
 
     Lagrangian identity in tangent coordinates:
       c = (d(M v)/dd) v - 1/2 d(v^T M v)/dd + dV/dd   at d = 0.
+
+    Cost note: the first term is a single directional derivative
+    (jvp along v) and the second a single reverse-mode gradient of a scalar
+    — NOT a full Jacobian of d -> M(d) v, which would nest jacfwd inside
+    jacfwd and pay nv^2 kinematics passes (it dominated env stepping).
     """
     nv = 6 + model.nj
 
@@ -321,14 +326,17 @@ def bias_forces(model, state: "RobotState"):
         def Mv(d):
             return mass_matrix_at(model, base_pos, base_R, q, d) @ v
 
+        def vMv(d):
+            return 0.5 * (v @ Mv(d))
+
         def V(d):
             Rs, ps = fk_perturbed(model, base_pos, base_R, q, d)
             c = ps + jnp.einsum("bij,bj->bi", Rs, model.com)
             return -jnp.sum(model.mass * (c @ model.gravity))
 
         zero = jnp.zeros(nv)
-        dMv = jax.jacfwd(Mv)(zero)              # (nv, nv)
-        c_cor = dMv @ v - 0.5 * (v @ dMv)       # (d(Mv)/dd) v - 1/2 v^T dM/dd v
+        _, dMv_v = jax.jvp(Mv, (zero,), (v,))    # (d(Mv)/dd) v
+        c_cor = dMv_v - jax.grad(vMv)(zero)      # - 1/2 d(v^T M v)/dd
         c_grav = jax.grad(V)(zero)
         return c_cor + c_grav
 

@@ -90,3 +90,75 @@ def collect_epochs(sim, policy, key, episode_length_s, epochs: int) -> RolloutDa
         )
         parts.append(data)
     return RolloutData.concatenate(parts)
+
+
+def collect_velocity_tracking(
+    env,
+    policy: Callable[[jax.Array], jax.Array],
+    traj_gen,
+    key: jax.Array,
+    episode_length_s: float,
+    Kp: float = 1.0,
+) -> RolloutData:
+    """ROM tracking through a velocity-command policy (legacy pipeline,
+    ref: deep_tube_learning/data_collection_velocity.py:21-146).
+
+    An external ROM trajectory generator produces the plan; a P controller
+    on the projection error writes [vx, vy] commands into the env's command
+    slots (the reference patches obs slots 9-11 directly; here we set
+    ``state.commands``), and the trained velocity policy tracks them. Records
+    (z, pz_x, v, done) at ROM ticks like the trajectory collector.
+    """
+    rom = traj_gen.rom
+    T = int(round(float(episode_length_s) / float(rom.dt)))
+    steps_per_rom = max(1, int(round(float(rom.dt) / env.dt)))
+    B = env.num_envs
+
+    state, obs = env.reset(key)
+    tg = traj_gen.init_state(jax.random.fold_in(key, 1), B)
+    tg = traj_gen.reset(tg, jnp.ones((B,), bool),
+                        rom.proj_z(state.robot.root_states))
+
+    @jax.jit
+    def rom_tick(carry, _):
+        state, tg, obs = carry
+
+        def env_step(carry2, _):
+            state, tg, obs = carry2
+            pz_x = rom.proj_z(state.robot.root_states)
+            z_des = traj_gen.get_trajectory(tg)[:, 0, :2]
+            v_des = tg.v[:, :2]
+            cmd = jnp.clip(Kp * (z_des - pz_x[:, :2]) + v_des, -1.0, 1.0)
+            state = state.replace(
+                commands=state.commands.at[:, :2].set(cmd)
+            )
+            actions = policy(obs)
+            state, tr = env.step(state, actions)
+            tg = traj_gen.step(tg)
+            return (state, tg, tr.obs), tr.done
+
+        (state, tg, obs), dones = jax.lax.scan(
+            env_step, (state, tg, obs), None, length=steps_per_rom
+        )
+        pz_x = rom.proj_z(state.robot.root_states)
+        z_t = traj_gen.get_trajectory(tg)[:, 0, :]
+        done_t = jnp.any(dones, axis=0)
+        z_t = jnp.where(done_t[:, None], pz_x, z_t)
+        return (state, tg, obs), (z_t, pz_x, tg.v, done_t)
+
+    pz0 = rom.proj_z(state.robot.root_states)
+    z0 = traj_gen.get_trajectory(tg)[:, 0, :]
+    (state, tg, obs), (z_t, pz_t, v_t, done_t) = jax.lax.scan(
+        rom_tick, (state, tg, obs), None, length=T
+    )
+    z = np.concatenate(
+        [np.asarray(z0)[:, None], np.asarray(z_t).transpose(1, 0, 2)], axis=1
+    )
+    pz_x = np.concatenate(
+        [np.asarray(pz0)[:, None], np.asarray(pz_t).transpose(1, 0, 2)],
+        axis=1,
+    )
+    return RolloutData(
+        z=z, v=np.asarray(v_t).transpose(1, 0, 2), pz_x=pz_x,
+        done=np.asarray(done_t).transpose(1, 0),
+    )

@@ -1,0 +1,52 @@
+"""CLI end-to-end smoke tests (collect -> train-tube -> plan -> mpc)."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, timeout=240):
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""  # skip remote-TPU registration
+    out = subprocess.run(
+        [sys.executable, "-m", "legged_gym_dev_tpu.cli", *args, "--cpu"],
+        capture_output=True, text=True, timeout=timeout, cwd=REPO, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout
+
+
+def test_collect_train_tube(tmp_path):
+    data = str(tmp_path / "rollouts.npz")
+    out = run_cli(["collect", "--num-envs", "32", "--epochs", "1",
+                   "--episode-length-s", "4", "--out", data])
+    assert "saved" in out
+    raw = np.load(data)
+    assert raw["z"].shape[0] == 32
+
+    out = run_cli(["train-tube", "--data", data, "--epochs", "5"])
+    final = json.loads([l for l in out.splitlines() if l.startswith("{")][0])
+    assert "coverage" in final["final"]
+
+
+def test_plan_and_mpc(tmp_path):
+    out = run_cli(["plan", "--problem", "gap", "--tube-dyn", "l1",
+                   "--N", "20", "--out", str(tmp_path / "plan.mat")])
+    rec = json.loads([l for l in out.splitlines() if l.startswith("{")][0])
+    assert rec["viol"] < 1e-4
+    assert os.path.exists(tmp_path / "plan.mat")
+
+    out = run_cli(["mpc", "--problem", "gap", "--tube-dyn", "l1",
+                   "--N", "20", "--H", "30",
+                   "--out", str(tmp_path / "mpc.mat")], timeout=300)
+    rec = json.loads([l for l in out.splitlines() if l.startswith("{")][0])
+    assert rec["max_resolve_viol"] < 1e-2
+    from scipy.io import loadmat
+
+    m = loadmat(tmp_path / "mpc.mat")
+    assert m["z"].shape[0] == 31
