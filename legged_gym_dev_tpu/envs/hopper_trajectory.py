@@ -151,6 +151,7 @@ class HopperTrajectoryEnv:
                                           default=(-4.0, -1.0))
     control_type: str = struct.field(pytree_node=False, default="orientation")
     add_noise: bool = struct.field(pytree_node=False, default=True)
+    domain_rand: bool = struct.field(pytree_node=False, default=True)
     episode_length_s: float = struct.field(pytree_node=False, default=20.0)
     push_interval_s: float = struct.field(pytree_node=False, default=15.0)
     max_push_vel: float = struct.field(pytree_node=False, default=1.0)
@@ -225,7 +226,10 @@ class HopperTrajectoryEnv:
         log_err = so3_log(err)
         omega_body = robot.v[:, 3:6]
         local_tau = (-p_g[:, 1:] * log_err - d_g[:, 1:] * omega_body)
-        tau_wheel = local_tau @ self.rot_actuator.T
+        # pytorch3d Rotate.transform_points is row-vector post-multiplication
+        # (p @ R), so the actuator-frame map is local_tau @ R — NOT @ R^T
+        # (that transposed map turns the attitude PD into positive feedback).
+        tau_wheel = local_tau @ self.rot_actuator
 
         if "spindown" in self.control_type:
             kd_sp = self.kd_spindown[None, :] * state.dr.d_gain[:, 1:]
@@ -278,9 +282,13 @@ class HopperTrajectoryEnv:
         B = self.num_envs
         ks = jax.random.split(key, 6)
         robot = state.robot
+        # Spawn with the foot sphere at ground contact: foot z =
+        # base - 0.36 + q + radius(0.02). The reference's 0.3 init height
+        # (hopper_trajectory_config.py:16) buries the foot 3cm in the plane;
+        # Isaac's solver absorbs that, a penalty contact model launches it.
         base_pos = jnp.concatenate([
             jnp.zeros((B, 2)),
-            0.3 + jax.random.uniform(ks[0], (B, 1), minval=-0.05, maxval=0.05),
+            0.36 + jax.random.uniform(ks[0], (B, 1), minval=0.0, maxval=0.06),
         ], axis=-1)
         yaw = jax.random.uniform(ks[1], (B,), minval=-jnp.pi, maxval=jnp.pi)
         quat = yaw_to_quat(yaw)
@@ -307,6 +315,10 @@ class HopperTrajectoryEnv:
 
     def _resample_dr(self, dr: HopperDR, mask: jax.Array,
                      key: jax.Array) -> HopperDR:
+        if not self.domain_rand:
+            # Data-generation configs disable DR (ref
+            # configs/data_generation/default_hopper.yaml).
+            return dr
         B = self.num_envs
         ks = jax.random.split(key, 8)
         u = lambda k, lo, hi, shape=(B,): jax.random.uniform(

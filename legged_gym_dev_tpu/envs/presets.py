@@ -60,17 +60,23 @@ def make_hopper_trajectory_env(
     n_traj: int = 10,
     episode_length_s: float = 20.0,
     add_noise: bool = True,
+    domain_rand: bool = True,
+    push_interval_s: float = 15.0,
+    max_push_vel: float = 1.0,
     urdf_path: str = HOPPER_URDF,
     reward_scales=HOPPER_REWARD_SCALES,
 ) -> HopperTrajectoryEnv:
     """Hopper tracking a SingleInt2D ROM (ref hopper_single_int.yaml)."""
     spec = parse_urdf(urdf_path)
     model = RobotModel.from_spec(spec)
+    # dt=2.5ms (policy rate unchanged at 50Hz): at the reference's 5ms the
+    # explicit contact+foot-spring cycle pumps energy each hop and the
+    # hopper bounces itself over (PhysX's implicit solver tolerates 5ms).
     sim = RobotSim.create(
         model,
-        contact=ContactParams.create(stiffness=8000.0, damping=60.0,
-                                     friction=1.0),
-        dt=0.005, decimation=4,
+        contact=ContactParams.create(stiffness=16000.0, damping=80.0,
+                                     friction=1.0, slip_vel=0.05),
+        dt=0.0025, decimation=8,
     )
     rom = SingleInt2D.create(
         rom_dt, [-10.0, -10.0], [10.0, 10.0],
@@ -122,6 +128,9 @@ def make_hopper_trajectory_env(
         raibert=RaibertHeuristic.create(-0.3, -0.9, 0.0, 0.5, 1.0, 0.2),
         reward_scales=tuple(reward_scales),
         add_noise=add_noise,
+        domain_rand=domain_rand,
+        push_interval_s=push_interval_s,
+        max_push_vel=max_push_vel,
         episode_length_s=episode_length_s,
         num_envs=num_envs,
     )

@@ -162,3 +162,73 @@ def collect_velocity_tracking(
         z=z, v=np.asarray(v_t).transpose(1, 0, 2), pz_x=pz_x,
         done=np.asarray(done_t).transpose(1, 0),
     )
+
+
+def collect_hopper_tracking(
+    env,
+    policy: Callable[[jax.Array], jax.Array],
+    key: jax.Array,
+    episode_length_s: float,
+    raibert_obs: bool = False,
+) -> RolloutData:
+    """Collect ROM-tracking data from the rigid-body hopper env.
+
+    The reference collects from the Isaac hopper with either the trained RL
+    policy or the Raibert heuristic (ref data_collection_trajectory.py:
+    56-149); ``raibert_obs=True`` feeds the policy the Raibert observation
+    [pos_err(2), vel(2), des_vel(2), quat_xyzw(4)] built from env internals
+    (ref :125-136) instead of the policy observation.
+    """
+    rom = env.rom
+    T = int(round(float(episode_length_s) / float(rom.dt)))
+    steps_per_rom = max(1, int(round(float(rom.dt) / env.dt)))
+    B = env.num_envs
+
+    state, obs = env.reset(key)
+
+    def build_raibert_obs(state):
+        pz_x = rom.proj_z(state.robot.root_states)
+        des_pos = state.trajectory[:, -1, :]
+        des_vel = env.traj_gen.get_v_trajectory(state.traj_gen)[:, -1, :2]
+        return jnp.concatenate([
+            des_pos - pz_x, state.robot.v[:, :2], des_vel,
+            state.robot.base_quat,
+        ], axis=-1)
+
+    @jax.jit
+    def rom_tick(carry, _):
+        state, obs = carry
+
+        def env_step(carry2, _):
+            state, obs = carry2
+            a_in = build_raibert_obs(state) if raibert_obs else obs
+            actions = policy(a_in)
+            state, tr = env.step(state, actions)
+            return (state, tr.obs), tr.done
+
+        (state, obs), dones = jax.lax.scan(
+            env_step, (state, obs), None, length=steps_per_rom
+        )
+        pz_x = rom.proj_z(state.robot.root_states)
+        z_t = state.trajectory[:, 0, :]
+        done_t = jnp.any(dones, axis=0)
+        z_t = jnp.where(done_t[:, None], pz_x, z_t)   # zero recorded error
+        v_t = state.traj_gen.v
+        return (state, obs), (z_t, pz_x, v_t, done_t)
+
+    pz0 = rom.proj_z(state.robot.root_states)
+    z0 = state.trajectory[:, 0, :]
+    (state, obs), (z_t, pz_t, v_t, done_t) = jax.lax.scan(
+        rom_tick, (state, obs), None, length=T
+    )
+    z = np.concatenate(
+        [np.asarray(z0)[:, None], np.asarray(z_t).transpose(1, 0, 2)], axis=1
+    )
+    pz_x = np.concatenate(
+        [np.asarray(pz0)[:, None], np.asarray(pz_t).transpose(1, 0, 2)],
+        axis=1,
+    )
+    return RolloutData(
+        z=z, v=np.asarray(v_t).transpose(1, 0, 2), pz_x=pz_x,
+        done=np.asarray(done_t).transpose(1, 0),
+    )

@@ -201,6 +201,11 @@ class HorizonTubeDataset:
     Input per sample: [w_{t-H_rev:t}, z_t[2:], v_{t-H_rev:t+H_fwd}] ->
     target w_{t+1:t+H_fwd+1}; layout matches the one-shot NN tube dynamics
     consumed by the solver (solver/tube_dynamics.py: nn_oneshot_tube).
+
+    ``valid`` marks (episode, t) window starts whose full horizon contains
+    no environment reset: with auto-resetting collectors a window crossing a
+    done stitches two episodes together and its error spike poisons the
+    learned quantile.
     """
 
     w: np.ndarray       # (E, H_rev + T) padded width series
@@ -208,6 +213,7 @@ class HorizonTubeDataset:
     v: np.ndarray       # (E, H_rev + T, m)
     H_fwd: int
     H_rev: int
+    valid: Optional[np.ndarray] = None   # (n_valid, 2) [episode, t] pairs
 
     @property
     def input_dim(self) -> int:
@@ -224,9 +230,13 @@ class HorizonTubeDataset:
     def sample_batch(self, rng: np.random.Generator, batch: int):
         """Random (episode, time) samples -> (input, target) arrays."""
         Hf, Hr = self.H_fwd, self.H_rev
-        eps = rng.integers(0, len(self), size=batch)
-        # Valid window start indices (ref datasets.py:139).
-        ts = rng.integers(Hr, self.w.shape[1] - Hf - 1, size=batch)
+        if self.valid is not None and len(self.valid) > 0:
+            pick = rng.integers(0, len(self.valid), size=batch)
+            eps, ts = self.valid[pick, 0], self.valid[pick, 1]
+        else:
+            eps = rng.integers(0, len(self), size=batch)
+            # Valid window start indices (ref datasets.py:139).
+            ts = rng.integers(Hr, self.w.shape[1] - Hf - 1, size=batch)
         xs, ys = [], []
         for e, t in zip(eps, ts):
             w_hist = self.w[e, t - Hr:t]
@@ -243,22 +253,55 @@ class HorizonTubeDataset:
         rng = rng or np.random.default_rng()
         split_len = int(len(self) * split_proportion)
         idx = int(rng.integers(len(self) - split_len))
-        sel = slice(idx, idx + split_len)
+        sel = np.arange(idx, idx + split_len)
         rest = np.r_[0:idx, idx + split_len:len(self)]
-        a = dataclasses.replace(self, w=self.w[sel], z_rest=self.z_rest[sel],
-                                v=self.v[sel])
-        b = dataclasses.replace(self, w=self.w[rest], z_rest=self.z_rest[rest],
-                                v=self.v[rest])
-        return a, b
+
+        def sub(ep_idx):
+            valid = None
+            if self.valid is not None:
+                remap = -np.ones(len(self), np.int64)
+                remap[ep_idx] = np.arange(len(ep_idx))
+                mask = np.isin(self.valid[:, 0], ep_idx)
+                valid = self.valid[mask].copy()
+                valid[:, 0] = remap[valid[:, 0]]
+            return dataclasses.replace(
+                self, w=self.w[ep_idx], z_rest=self.z_rest[ep_idx],
+                v=self.v[ep_idx], valid=valid,
+            )
+
+        return sub(sel), sub(rest)
 
     def update(self, rng=None):
         pass
 
 
 def scalar_horizon_tube_dataset(r: RolloutData, H_fwd: int = 50,
-                                H_rev: int = 10) -> HorizonTubeDataset:
+                                H_rev: int = 10,
+                                drop_done_episodes: bool = True
+                                ) -> HorizonTubeDataset:
     """Pad the series back H_rev steps with the initial state / zero inputs
-    (ref :213-245)."""
+    (ref :213-245).
+
+    ``drop_done_episodes``: restrict sampling to windows whose full
+    [t-H_rev, t+H_fwd] span contains no environment reset — a crash/reset
+    inside the window stitches unrelated episodes together and its error
+    spike poisons the learned quantile (the reference drops done rows for
+    one-step datasets; this is the horizon-window analog).
+    """
+    valid = None
+    if drop_done_episodes:
+        E, T = r.done.shape
+        pairs = []
+        for e in range(E):
+            done_t = np.flatnonzero(r.done[e, :-1])
+            ok = np.ones(T, bool)
+            for d in done_t:
+                ok[max(0, d - H_fwd - 1): d + H_rev + 1] = False
+            # window start t indexes the padded series: t in [H_rev, T-H_fwd)
+            for t in range(H_rev, T - H_fwd):
+                if ok[t - H_rev]:
+                    pairs.append((e, t))
+        valid = (np.asarray(pairs, np.int64) if pairs else None)
     z, pz_x, v = r.z[:, :-1], r.pz_x[:, :-1], r.v
     v = np.concatenate(
         (np.zeros((v.shape[0], H_rev, v.shape[2])), v), axis=1
@@ -271,6 +314,7 @@ def scalar_horizon_tube_dataset(r: RolloutData, H_fwd: int = 50,
         z_rest=z[:, :, 2:].astype(np.float32),
         v=v.astype(np.float32),
         H_fwd=H_fwd, H_rev=H_rev,
+        valid=valid,
     )
 
 
