@@ -63,6 +63,8 @@ class VelocityEnvState:
     command_ranges: jax.Array  # (4, 2) [lin_x, lin_y, yaw, heading] curriculum
     sea_hidden: jax.Array      # (2, B*nj or 0, 8) actuator-net LSTM state
     sea_cell: jax.Array
+    terrain_levels: jax.Array  # (B,) int32 terrain-curriculum rows
+    env_origin: jax.Array      # (B, 3) current spawn origins
 
 
 @struct.dataclass
@@ -82,7 +84,11 @@ class LeggedRobotVelocityEnv:
     soft_torque_limit: jax.Array
     # Per-env spawn origins (terrain grid cells, ref legged_robot.py:433-441;
     # zeros = single shared origin on flat ground).
-    env_origins: Optional[jax.Array] = None   # (B, 3)
+    env_origins: Optional[jax.Array] = None   # (B, 3) initial assignment
+    # Terrain-level curriculum (ref legged_robot.py:497-517): origins table
+    # indexed [level(row), type(col)] + per-env fixed column assignment.
+    terrain_origins: Optional[jax.Array] = None   # (rows, cols, 3)
+    terrain_types: Optional[jax.Array] = None     # (B,) int32
     actuator_net: Optional[ActuatorNetLSTM] = None
     action_scale: float = struct.field(pytree_node=False, default=0.25)
     control_type: str = struct.field(pytree_node=False, default="P")
@@ -91,6 +97,7 @@ class LeggedRobotVelocityEnv:
     episode_length_s: float = struct.field(pytree_node=False, default=20.0)
     push_interval_s: float = struct.field(pytree_node=False, default=15.0)
     max_push_vel: float = struct.field(pytree_node=False, default=1.0)
+    terrain_curriculum: bool = struct.field(pytree_node=False, default=False)
     add_noise: bool = struct.field(pytree_node=False, default=True)
     command_curriculum: bool = struct.field(pytree_node=False, default=False)
     only_positive_rewards: bool = struct.field(pytree_node=False, default=True)
@@ -216,6 +223,9 @@ class LeggedRobotVelocityEnv:
             sea_cell=jnp.zeros(
                 (2, B * nj if self.actuator_net is not None else 0, 8)
             ),
+            terrain_levels=jnp.zeros((B,), jnp.int32),
+            env_origin=(self.env_origins if self.env_origins is not None
+                        else jnp.zeros((B, 3))),
         )
         state = self._do_reset(state, jnp.ones((B,), bool))
         return state, self._obs(state)
@@ -235,10 +245,36 @@ class LeggedRobotVelocityEnv:
             jnp.zeros((B, nj)),
         ], axis=-1)
         base_pos = jnp.broadcast_to(self.base_init_pos, (B, 3))
-        if self.env_origins is not None:
+        levels = state.terrain_levels
+        origin = state.env_origin
+        if self.terrain_curriculum and self.terrain_origins is not None:
+            # Game-inspired terrain curriculum (ref :497-517): walked far
+            # enough -> harder row; under half the commanded distance ->
+            # easier; solved top level -> random row.
+            max_level = self.terrain_origins.shape[0]
+            dist = jnp.linalg.norm(
+                state.robot.base_pos[:, :2] - origin[:, :2], axis=-1
+            )
+            cmd_dist = (jnp.linalg.norm(state.commands[:, :2], axis=-1)
+                        * self.episode_length_s)
+            # Only score envs that actually ran an episode (the initial
+            # reset measures distance from the default pose, not a walk).
+            ran = state.episode_step > 0
+            move_up = (dist > 4.0) & ran  # ~ env_length / 2
+            move_down = (dist < cmd_dist * 0.5) & ~move_up & ran
+            new_levels = levels + move_up.astype(jnp.int32)                 - move_down.astype(jnp.int32)
+            k_lvl = jax.random.fold_in(k2, 13)
+            rand_lvl = jax.random.randint(k_lvl, (B,), 0, max_level)
+            new_levels = jnp.where(new_levels >= max_level, rand_lvl,
+                                   jnp.clip(new_levels, 0))
+            levels = jnp.where(mask, new_levels, levels)
+            origin = _mwhere(
+                mask, self.terrain_origins[levels, self.terrain_types], origin
+            )
+        if self.env_origins is not None or self.terrain_origins is not None:
             # Spawn at the terrain-cell origin +-1m xy (ref :437-441).
             k_xy = jax.random.fold_in(k2, 11)
-            base_pos = base_pos + self.env_origins + jnp.concatenate([
+            base_pos = base_pos + origin + jnp.concatenate([
                 jax.random.uniform(k_xy, (B, 2), minval=-1.0, maxval=1.0),
                 jnp.zeros((B, 1)),
             ], axis=-1)
@@ -268,6 +304,8 @@ class LeggedRobotVelocityEnv:
                           for k, v in state.episode_sums.items()},
             sea_hidden=self._mask_sea(state.sea_hidden, mask),
             sea_cell=self._mask_sea(state.sea_cell, mask),
+            terrain_levels=levels,
+            env_origin=origin,
         )
 
     def _mask_sea(self, sea: jax.Array, mask: jax.Array) -> jax.Array:

@@ -213,18 +213,25 @@ def make_velocity_env(urdf_path: str, num_envs: int = 4096,
     model = RobotModel.from_spec(spec)
     terrain_fn = terrain.make_terrain_fn() if terrain is not None else None
     env_origins = None
+    terrain_origins = None
+    terrain_types = None
     if terrain is not None and terrain.type not in ("none", "plane"):
-        # Assign envs round-robin over grid cells (col = terrain type,
-        # row 0 = easiest; the terrain-level curriculum moves rows later).
         import numpy as _np
 
-        origins = terrain.env_origins.reshape(-1, 3)
-        # World x/y offset: cell origins are relative to the grid corner at
-        # (-border, -border).
-        origins = origins - _np.asarray([terrain.cfg.border_size,
-                                         terrain.cfg.border_size, 0.0])
-        idx = _np.arange(num_envs) % origins.shape[0]
-        env_origins = jnp.asarray(origins[idx], jnp.float32)
+        # Origins table [row(level), col(type)]; world offset: the grid
+        # corner sits at (-border, -border).
+        shift = _np.asarray([terrain.cfg.border_size,
+                             terrain.cfg.border_size, 0.0])
+        table = terrain.env_origins - shift
+        terrain_origins = jnp.asarray(table, jnp.float32)
+        # Fixed per-env terrain type (column); start at level 0 like the
+        # reference curriculum (ref legged_robot.py custom_origins init).
+        terrain_types = jnp.asarray(
+            _np.arange(num_envs) % table.shape[1], jnp.int32
+        )
+        env_origins = terrain_origins[
+            jnp.zeros(num_envs, jnp.int32), terrain_types
+        ]
     sim = RobotSim.create(
         model,
         contact=ContactParams.create(stiffness=5000.0, damping=50.0),
@@ -267,6 +274,10 @@ def make_velocity_env(urdf_path: str, num_envs: int = 4096,
         soft_dof_vel_limit=jnp.asarray(1.0),
         soft_torque_limit=jnp.asarray(1.0),
         env_origins=env_origins,
+        terrain_origins=terrain_origins,
+        terrain_types=terrain_types,
+        terrain_curriculum=terrain is not None
+        and terrain.type not in ("none", "plane"),
         action_scale=action_scale,
         reward_scales=tuple(reward_scales),
         feet_spheres=feet,
