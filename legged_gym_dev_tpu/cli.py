@@ -61,13 +61,13 @@ def cmd_train(args):
     args.task, args.max_iterations, args.seed = task, max_iterations, seed
 
     env = task_registry.make_env(args.task, **env_kw)
-    runner = task_registry.make_alg_runner(
-        env, args.task, log_root=args.log_root, run_name=args.run_name,
-        seed=args.seed, resume=args.resume, load_run=args.load,
-    )
-    runner.model = ActorCritic(
+    model = ActorCritic(
         num_actions=env.num_actions,
         actor_hidden_dims=(128, 64, 32), critic_hidden_dims=(128, 64, 32),
+    )
+    runner = task_registry.make_alg_runner(
+        env, args.task, log_root=args.log_root, run_name=args.run_name,
+        seed=args.seed, resume=args.resume, load_run=args.load, model=model,
     )
     hist = runner.learn(args.max_iterations)
     print(json.dumps({"final": hist[-1]}))
@@ -85,11 +85,11 @@ def cmd_play(args):
 
     env = task_registry.make_env(args.task, num_envs=args.num_envs,
                                  add_noise=False)
-    runner = task_registry.make_alg_runner(env, args.task,
-                                           log_root=args.log_root, seed=0)
-    if args.load:
-        runner.ckpt.log_dir = args.load
-        runner.load(args.checkpoint)
+    runner = task_registry.make_alg_runner(
+        env, args.task, log_root=args.log_root, seed=0,
+        resume=bool(args.load), load_run=args.checkpoint,
+        load_dir=args.load,
+    )
     policy = runner.get_inference_policy()
 
     if args.export:

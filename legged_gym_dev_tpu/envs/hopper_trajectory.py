@@ -435,22 +435,18 @@ class HopperTrajectoryEnv:
                 out[name] = mult * diff
             elif name == "raibert":
                 # Deviation from the Raibert-heuristic action
-                # (ref hopper_trajectory.py:482-502).
-                vel_body = robot.v[:, :3]
-                des_pos = state.trajectory[:, -1, :]
-                des_vel = self.traj_gen.get_v_trajectory(state.traj_gen)[
-                    :, -1, :
-                ]
+                # (ref hopper_trajectory.py:482-502): target = the CURRENT
+                # trajectory node, body-frame planar velocity, raw actions.
+                R = quat_to_rotmat(robot.base_quat)
+                vel_body = jnp.einsum("bji,bj->bi", R, robot.v[:, :3])
+                des_pos = state.trajectory[:, 0, :]
+                des_vel = state.traj_gen.v[:, :2]
                 rh_obs = jnp.concatenate([
                     des_pos - pz_x, vel_body[:, :2], des_vel,
                     robot.base_quat,
                 ], axis=-1)
                 a_rh = self.raibert(rh_obs)
-                an = actions / jnp.clip(
-                    jnp.linalg.norm(actions, axis=-1, keepdims=True), 1e-8
-                )
-                an = jnp.where(an[:, :1] < 0, -an, an)
-                out[name] = jnp.sum(jnp.square(an - a_rh), axis=-1)
+                out[name] = jnp.sum(jnp.square(actions - a_rh), axis=-1)
             elif name == "orientation":
                 # Penalize non-upright base (projected gravity xy).
                 R = quat_to_rotmat(robot.base_quat)
@@ -490,11 +486,17 @@ class HopperTrajectoryEnv:
         actions = jnp.clip(actions, -100.0, 100.0)
         state = state.replace(actions=actions)
 
-        # Decimated physics with torques recomputed per substep.
-        robot = self.sim.step(
-            state.robot, lambda rs: self._compute_torques(state, rs)
+        # Decimated physics with torques recomputed per substep; the
+        # recorded torques are those applied in the last substep (an extra
+        # post-step recomputation would be both wasted contact work and not
+        # a torque that was ever applied).
+        def ctrl(carry, rs):
+            tau = self._compute_torques(state, rs)
+            return tau, tau
+
+        robot, torques = self.sim.step_with_carry(
+            state.robot, jnp.zeros((self.num_envs, 4)), ctrl
         )
-        torques = self._compute_torques(state, robot)
 
         # Trajectory generator tick at the policy rate (curriculum-scaled).
         tgen = self._traj_gen_cur(state)
@@ -530,9 +532,11 @@ class HopperTrajectoryEnv:
             for k in state.episode_sums
         }
 
-        denom = jnp.maximum(done.sum(), 1)
+        # Per-term reward sums of envs that reset this step, normalized by
+        # episode seconds; the consumer divides by the reset count
+        # (averaging per-step values would deflate by the no-reset steps).
         episode_info = {
-            "rew_" + k: jnp.sum(jnp.where(done, v, 0.0)) / denom
+            "rew_" + k: jnp.sum(jnp.where(done, v, 0.0))
             / self.episode_length_s
             for k, v in episode_sums.items()
         }

@@ -442,12 +442,12 @@ class LeggedRobotVelocityEnv:
         actions = jnp.clip(actions, -100.0, 100.0)
         state = state.replace(actions=actions)
 
+        B, nj = self.num_envs, self.nj
         if self.actuator_net is not None:
-            B, nj = self.num_envs, self.nj
             net = self.actuator_net
 
             def sea_torque(carry, rs):
-                h, c = carry
+                h, c, _ = carry
                 pos_err = (state.actions * self.action_scale
                            + self.default_dof_pos - rs.q)
                 x = jnp.stack(
@@ -460,19 +460,23 @@ class LeggedRobotVelocityEnv:
                 tau = jnp.clip(tau.reshape(B, nj),
                                -self.sim.model.effort_limit,
                                self.sim.model.effort_limit)
-                return (h, c), tau
+                return (h, c, tau), tau
 
-            robot, (sea_h, sea_c) = self.sim.step_with_carry(
-                state.robot, (state.sea_hidden, state.sea_cell), sea_torque
+            carry0 = (state.sea_hidden, state.sea_cell,
+                      jnp.zeros((B, nj)))
+            robot, (sea_h, sea_c, torques) = self.sim.step_with_carry(
+                state.robot, carry0, sea_torque
             )
-            _, torques = sea_torque((sea_h, sea_c), robot)
             state = state.replace(torques=torques, sea_hidden=sea_h,
                                   sea_cell=sea_c)
         else:
-            robot = self.sim.step(
-                state.robot, lambda rs: self._compute_torques(state, rs)
+            def pd_torque(carry, rs):
+                tau = self._compute_torques(state, rs)
+                return tau, tau
+
+            robot, torques = self.sim.step_with_carry(
+                state.robot, jnp.zeros((B, nj)), pd_torque
             )
-            torques = self._compute_torques(state, robot)
             state = state.replace(torques=torques)
 
         f_contact = self._contact_forces(robot)
@@ -505,9 +509,11 @@ class LeggedRobotVelocityEnv:
             * (scales[k] * (self.dt if k != "termination" else 1.0))
             for k in state.episode_sums
         }
-        denom = jnp.maximum(done.sum(), 1)
+        # Per-term reward sums of envs that reset this step, normalized by
+        # episode seconds; the consumer divides by the reset count
+        # (averaging per-step values would deflate by the no-reset steps).
         episode_info = {
-            "rew_" + k: jnp.sum(jnp.where(done, v, 0.0)) / denom
+            "rew_" + k: jnp.sum(jnp.where(done, v, 0.0))
             / self.episode_length_s
             for k, v in episode_sums.items()
         }

@@ -218,11 +218,10 @@ def make_velocity_env(urdf_path: str, num_envs: int = 4096,
     if terrain is not None and terrain.type not in ("none", "plane"):
         import numpy as _np
 
-        # Origins table [row(level), col(type)]; world offset: the grid
-        # corner sits at (-border, -border).
-        shift = _np.asarray([terrain.cfg.border_size,
-                             terrain.cfg.border_size, 0.0])
-        table = terrain.env_origins - shift
+        # Origins table [row(level), col(type)]. make_terrain_fn maps world
+        # (x, y) -> pixel via (x + border)/hs, so cell centers in world
+        # coordinates are exactly env_origins (no border shift).
+        table = terrain.env_origins
         terrain_origins = jnp.asarray(table, jnp.float32)
         # Fixed per-env terrain type (column); start at level 0 like the
         # reference curriculum (ref legged_robot.py custom_origins init).

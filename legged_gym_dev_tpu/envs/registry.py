@@ -52,18 +52,40 @@ class TaskRegistry:
     def make_alg_runner(self, env, name: str, log_root: str = "logs",
                         run_name: str = "", seed: int = 0,
                         resume: bool = False, load_run: str = "latest",
+                        load_dir: str = "", model=None,
                         metrics_callback=None) -> OnPolicyRunner:
         """Build the PPO runner with the reference's log-dir layout
-        (ref task_registry.py:105-156)."""
+        (ref task_registry.py:105-156). ``resume`` restores ``load_run``
+        from ``load_dir`` (or the most recent run under the task's log
+        root, matching the reference's get_load_path default)."""
         entry = self.get(name)
         stamp = datetime.now().strftime("%b%d_%H-%M-%S")
         log_dir = os.path.join(log_root, name, f"{stamp}_{run_name}")
         runner = OnPolicyRunner(
-            env, cfg=entry.train_cfg, log_dir=log_dir, seed=seed,
-            metrics_callback=metrics_callback, **entry.runner_kwargs
+            env, model=model, cfg=entry.train_cfg, log_dir=log_dir,
+            seed=seed, metrics_callback=metrics_callback,
+            **entry.runner_kwargs
         )
         if resume:
-            runner.load(load_run)
+            if not load_dir:
+                # Latest previous run directory (ref helpers.py:183-205).
+                task_root = os.path.join(log_root, name)
+                runs = sorted(
+                    d for d in os.listdir(task_root)
+                    if os.path.isdir(os.path.join(task_root, d))
+                    and d != os.path.basename(log_dir)
+                )
+                if not runs:
+                    raise FileNotFoundError(
+                        f"no previous runs to resume under {task_root}"
+                    )
+                load_dir = os.path.join(task_root, runs[-1])
+            from ..rl.runner import CheckpointManager
+
+            src = CheckpointManager(load_dir)
+            runner.train_state = runner.train_state._replace(
+                params=src.load(load_run, runner.train_state.params)
+            )
         return runner
 
 

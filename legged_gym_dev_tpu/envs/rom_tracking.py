@@ -164,10 +164,13 @@ class RomTrackingEnv:
 
         # Episode metrics: per-term sum / episode seconds over reset envs
         # (ref: legged_robot.py:174-187).
-        denom = jnp.maximum(done.sum(), 1)
         episode_info = {
+            # Per-term reward sums of envs that reset this step,
+            # normalized by episode seconds; the consumer divides by
+            # the reset count (averaging over steps would deflate by
+            # the no-reset steps).
             "rew_" + k: jnp.sum(jnp.where(done, v, 0.0))
-            / denom / self.episode_length_s
+            / self.episode_length_s
             for k, v in episode_sums.items()
         }
 

@@ -90,23 +90,28 @@ def evaluate_tracking_policy(env, policy: Callable, traj_gen_cls,
     """Swap the env's trajectory generator for a deterministic fixture
     (zero/square/circle, ref evaluate_rl_policy.py:170-173) and measure
     tracking error of the rolled policy."""
+    base_gen = (env.traj_gen if hasattr(env, "traj_gen")
+                else env.sim.traj_gen)
     fixture = traj_gen_cls.create(
-        env.traj_gen.rom, env.traj_gen.t_sampler, env.traj_gen.weight_sampler,
-        dt_loop=float(env.traj_gen.dt_loop), N=env.traj_gen.N,
-        dN=env.traj_gen.dN,
+        base_gen.rom, base_gen.t_sampler, base_gen.weight_sampler,
+        dt_loop=float(base_gen.dt_loop), N=base_gen.N, dN=base_gen.dN,
     )
-    env = env.replace(traj_gen=fixture)
+    if hasattr(env, "traj_gen"):
+        env = env.replace(traj_gen=fixture)
+    else:  # ROM-only envs hold the generator inside their sim
+        env = env.replace(sim=env.sim.replace(traj_gen=fixture))
     state, obs = env.reset(jax.random.PRNGKey(seed))
     step = jax.jit(env.step)
     errs = []
     for _ in range(steps):
         state, tr = step(state, policy(obs))
         obs = tr.obs
-        pz_x = env.rom.proj_z(env.sim.model and state.robot.root_states
-                              if hasattr(state, "robot")
-                              else state.sim.root_states)
-        desired = (state.trajectory[:, 0, :] if hasattr(state, "trajectory")
-                   else state.sim.trajectory[:, 0, :])
+        if hasattr(state, "robot"):            # rigid-body envs
+            pz_x = env.rom.proj_z(state.robot.root_states)
+            desired = state.trajectory[:, 0, :]
+        else:                                   # ROM-only envs
+            pz_x = env.sim.rom.proj_z(state.sim.root_states)
+            desired = state.sim.trajectory[:, 0, :]
         errs.append(np.asarray(
             jnp.linalg.norm(pz_x[..., :2] - desired[..., :2], axis=-1)
         ))
@@ -134,16 +139,15 @@ def evaluate_sim2sim_hopper(steps: int = 200, dt: float = 0.005,
     """
     import mujoco
 
-    from tests.test_sim_dynamics import build_mjcf  # shared construction
     from .sim.dynamics import RobotModel, RobotState, forward_dynamics, integrate
+    from .sim.mjcf import build_mjcf
     from .sim.urdf import parse_urdf
 
     spec = parse_urdf(
         "/root/reference/resources/robots/hopper/urdf/hopper.urdf"
     )
     model = RobotModel.from_spec(spec)
-    m = mujoco.MjModel.from_xml_string(build_mjcf(spec))
-    m.opt.timestep = dt
+    m = mujoco.MjModel.from_xml_string(build_mjcf(spec, timestep=dt))
     d = mujoco.MjData(m)
 
     pos = np.array([0.0, 0.0, 2.0])

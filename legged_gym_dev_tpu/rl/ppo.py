@@ -121,7 +121,7 @@ def rollout(env, model, train_state: TrainState, env_state, cfg: PPOConfig):
             jnp.float32
         )
         out = (obs, action, log_prob, value, reward, tr.done, mean, log_std,
-               tr.info["episode"])
+               tr.info["episode"], tr.info["n_resets"])
         return (env_state, tr.obs, key), out
 
     obs0 = env._obs(env_state)
@@ -129,7 +129,7 @@ def rollout(env, model, train_state: TrainState, env_state, cfg: PPOConfig):
         body, (env_state, obs0, train_state.key), None, length=cfg.num_steps
     )
     (obs, actions, log_probs, values, rewards, dones, means, log_stds,
-     ep_infos) = outs
+     ep_infos, n_resets) = outs
     _, _, last_value = model.apply(train_state.params, last_obs)
     advantages, returns = compute_gae(
         rewards, values, dones, last_value, cfg.gamma, cfg.lam
@@ -139,9 +139,14 @@ def rollout(env, model, train_state: TrainState, env_state, cfg: PPOConfig):
         advantages=advantages, returns=returns, means=means,
         log_stds=log_stds,
     )
+    total_resets = jnp.maximum(jnp.sum(n_resets), 1)
     metrics = {
         "mean_reward": rewards.mean(),
-        "mean_episode_info": jax.tree.map(lambda x: x.mean(), ep_infos),
+        # Envs emit per-step SUMS over reset envs; the true per-episode
+        # average divides the total by the number of resets in the window.
+        "mean_episode_info": jax.tree.map(
+            lambda x: jnp.sum(x) / total_resets, ep_infos
+        ),
     }
     return train_state._replace(key=key), env_state, batch, metrics
 

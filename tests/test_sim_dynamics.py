@@ -26,6 +26,7 @@ from legged_gym_dev_tpu.sim.dynamics import (
     mass_matrix,
 )
 from legged_gym_dev_tpu.sim.robot_sim import JointSprings, RobotSim
+from legged_gym_dev_tpu.sim.mjcf import build_mjcf
 from legged_gym_dev_tpu.sim.urdf import _rpy_to_mat, parse_urdf
 
 HOPPER_URDF = "/root/reference/resources/robots/hopper/urdf/hopper.urdf"
@@ -35,37 +36,6 @@ HOPPER_URDF = "/root/reference/resources/robots/hopper/urdf/hopper.urdf"
 def hopper():
     spec = parse_urdf(HOPPER_URDF)
     return spec, RobotModel.from_spec(spec)
-
-
-def build_mjcf(spec) -> str:
-    """Equivalent MJCF from the same parsed spec (quat from our rpy->R to
-    sidestep euler-convention ambiguity)."""
-
-    def quat_wxyz(R):
-        q = Rotation.from_matrix(R).as_quat()
-        return f"{q[3]} {q[0]} {q[1]} {q[2]}"
-
-    def body_xml(j, jtype):
-        R = _rpy_to_mat(j.origin_rpy)
-        l = spec.links[j.child]
-        d = l.inertia
-        return f"""<body name="{j.child}" pos="{j.origin_pos[0]} {j.origin_pos[1]} {j.origin_pos[2]}" quat="{quat_wxyz(R)}">
-          <joint name="{j.name}" type="{jtype}" axis="{j.axis[0]} {j.axis[1]} {j.axis[2]}" limited="false"/>
-          <inertial pos="{l.com[0]} {l.com[1]} {l.com[2]}" mass="{l.mass}" fullinertia="{d[0,0]} {d[1,1]} {d[2,2]} {d[0,1]} {d[0,2]} {d[1,2]}"/>
-        </body>"""
-
-    torso = spec.links[spec.root]
-    ti = torso.inertia
-    joints_xml = "\n".join(
-        body_xml(j, "hinge" if j.joint_type == "revolute" else "slide")
-        for j in spec.joints
-    )
-    return f"""<mujoco><option gravity="0 0 -9.81" timestep="0.005"/>
-    <worldbody><body name="{spec.root}" pos="0 0 0">
-      <freejoint/>
-      <inertial pos="0 0 0" mass="{torso.mass}" fullinertia="{ti[0,0]} {ti[1,1]} {ti[2,2]} {ti[0,1]} {ti[0,2]} {ti[1,2]}"/>
-      {joints_xml}
-    </body></worldbody></mujoco>"""
 
 
 def random_state(rng, nj):
