@@ -191,3 +191,11 @@ def torch_rand_sqrt_float(key: jax.Array, lower: float, upper: float, shape) -> 
     u = jax.random.uniform(key, shape, minval=-1.0, maxval=1.0)
     r = jnp.where(u < 0.0, -jnp.sqrt(-u), jnp.sqrt(u))
     return (r + 1.0) / 2.0 * (upper - lower) + lower
+
+
+def masked_update(mask: jax.Array, new: jax.Array, old: jax.Array) -> jax.Array:
+    """Batched masked update: where(mask, new, old) with the (B,) mask
+    broadcast over trailing dims. The standard per-env update primitive for
+    this framework's masked-reset style."""
+    m = mask.reshape(mask.shape + (1,) * (new.ndim - mask.ndim))
+    return jnp.where(m, new, old)

@@ -52,9 +52,7 @@ from ..trajgen.generator import TrajectoryGenerator, TrajGenState
 from .base import Transition
 
 
-def _mwhere(mask, new, old):
-    m = mask.reshape(mask.shape + (1,) * (new.ndim - mask.ndim))
-    return jnp.where(m, new, old)
+from ..core.maths import masked_update as _mwhere  # noqa: E402
 
 
 @struct.dataclass

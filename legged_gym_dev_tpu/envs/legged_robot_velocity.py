@@ -28,9 +28,7 @@ from ..sim.robot_sim import RobotSim
 from .base import Transition
 
 
-def _mwhere(mask, new, old):
-    m = mask.reshape(mask.shape + (1,) * (new.ndim - mask.ndim))
-    return jnp.where(m, new, old)
+from ..core.maths import masked_update as _mwhere  # noqa: E402
 
 
 def classify_contacts(model, foot_name: str, penalize_on, terminate_on):

@@ -36,21 +36,6 @@ except Exception:  # pragma: no cover
 
 # ---- lane-major block primitives: arrays are (b, b, TB) / (b, TB) ---------
 
-def _chol_lane(M, b: int):
-    """Cholesky of (b, b, TB) lane-major SPD blocks -> lower (b, b, TB)."""
-    L = [[None] * b for _ in range(b)]
-    for j in range(b):
-        acc = [M[i, j] for i in range(b)]
-        for k in range(j):
-            for i in range(j, b):
-                acc[i] = acc[i] - L[i][k] * L[j][k]
-        d = jnp.sqrt(jnp.clip(acc[j], 1e-12))
-        inv_d = 1.0 / d
-        for i in range(b):
-            L[i][j] = (acc[i] * inv_d) if i >= j else jnp.zeros_like(d)
-    return L
-
-
 def _tri_lower_lane(L, rhs, b: int):
     """Solve L y = rhs; L as list-of-lists lanes, rhs list of (TB,)."""
     y = [None] * b
@@ -96,9 +81,7 @@ def _bt_kernel(D_ref, L_ref, rhs_ref, x_ref, chol_ref, y_ref, *, S: int,
         for i in range(b):
             ref[k, i] = v[i]
 
-    c0 = _chol_lane(jnp.stack([jnp.stack([D_ref[0, i, j] for j in range(b)])
-                               for i in range(b)]), b) \
-        if False else _chol_lane_from_ref(D_ref, 0, b)
+    c0 = _chol_lane_from_ref(D_ref, 0, b)
     store_block(chol_ref, 0, c0)
     store_vec(y_ref, 0, _chol_solve_lane(c0, load_vec(rhs_ref, 0), b))
 
@@ -173,11 +156,6 @@ def _chol_lane_from_rows(M, b: int):
         for i in range(b):
             L[i][j] = (acc[i] * inv_d) if i >= j else jnp.zeros_like(d)
     return L
-
-
-def _chol_lane(M, b: int):  # kept for API symmetry / tests
-    rows = [[M[i, j] for j in range(b)] for i in range(b)]
-    return _chol_lane_from_rows(rows, b)
 
 
 def block_tridiag_solve_pallas(D: jax.Array, L: jax.Array, rhs: jax.Array,

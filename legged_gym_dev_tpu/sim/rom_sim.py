@@ -22,9 +22,7 @@ from ..core.rom import RomDynamics
 from ..trajgen.generator import TrajectoryGenerator, TrajGenState
 
 
-def _mwhere(mask, new, old):
-    m = mask.reshape(mask.shape + (1,) * (new.ndim - mask.ndim))
-    return jnp.where(m, new, old)
+from ..core.maths import masked_update as _mwhere  # noqa: E402
 
 
 @struct.dataclass
@@ -111,8 +109,21 @@ class RomSim:
         state = state.replace(
             key=k_next, root_states=root_states, traj_gen=tg_state
         )
-        # Reference reset ends with a zero-action step (ref :93).
-        return self.step(state, jnp.zeros((B, self.model.m), jnp.float32))
+        # Reference reset ends with a zero-action step (ref :93) — but only
+        # for the RESET envs: this runs inside the per-step masked
+        # auto-reset, and an unmasked trailing step would double-advance
+        # every other env's clock each policy step.
+        stepped = self.step(state, jnp.zeros((B, self.model.m), jnp.float32))
+        tg_masked = jax.tree.map(
+            lambda new, old: _mwhere(mask, new, old)
+            if new.ndim >= 1 and new.shape[0] == B else new,
+            stepped.traj_gen, state.traj_gen,
+        )
+        return state.replace(
+            root_states=_mwhere(mask, stepped.root_states, state.root_states),
+            traj_gen=tg_masked,
+            trajectory=_mwhere(mask, stepped.trajectory, state.trajectory),
+        )
 
     # ------------------------------------------------------------------
     def step(self, state: RomSimState, action: jax.Array) -> RomSimState:

@@ -285,8 +285,6 @@ def solve_al_batched(r_fn, h_fn, g_fn, x0, p, lb, ub, cfg: ALConfig = ALConfig()
                      lam0=None, mu0=None, rho_init=None) -> ALSolution:
     """vmap wrapper: leading batch axis on x0 / p / lb / ub (and warm duals)."""
     fn = functools.partial(solve_al, r_fn, h_fn, g_fn, cfg=cfg)
-    in_axes = (0, 0, 0, 0)
-    args = (x0, p, lb, ub)
     kw = {}
     if lam0 is not None:
         kw["lam0"] = lam0
@@ -294,6 +292,4 @@ def solve_al_batched(r_fn, h_fn, g_fn, x0, p, lb, ub, cfg: ALConfig = ALConfig()
         kw["mu0"] = mu0
     if rho_init is not None:
         kw["rho_init"] = rho_init
-    return jax.vmap(lambda x0_, p_, lb_, ub_, **k: fn(x0_, p_, lb_, ub_, **k))(
-        *args, **kw
-    )
+    return jax.vmap(fn)(x0, p, lb, ub, **kw)

@@ -116,9 +116,17 @@ def _merit(sp, u, p, lam, mu, rho):
 # Stage-form GN assembly
 # ---------------------------------------------------------------------------
 
-def _assemble(sp: StagedProblem, u, p: TrajOptParams, lam, mu, rho):
+def _assemble(sp: StagedProblem, u, p: TrajOptParams, lam, mu, rho,
+              grad_rho=None):
     """Return grad (S,b), diag blocks D (S,b,b), sub-diag L (S-1,b,b), and
-    (for NN tube) the dense tube Jacobian for Woodbury."""
+    (for NN tube) the dense tube Jacobian for Woodbury.
+
+    ``grad_rho`` (default = rho) is the penalty used in the GRADIENT terms
+    only: the outer convergence test passes 0.0 so grad equals the plain
+    Lagrangian gradient J_r^T r + J_h^T lam - J_g^T mu (matching
+    al_solver's criterion); the Hessian blocks always use ``rho``."""
+    if grad_rho is None:
+        grad_rho = rho
     n, m, N = sp.n, sp.m, sp.N
     b = n + 1 + m
     S = N + 1
@@ -134,6 +142,7 @@ def _assemble(sp: StagedProblem, u, p: TrajOptParams, lam, mu, rho):
     lam_ic = lam[E_dyn:E_dyn + 2]
     lam_tube = lam[E_dyn + 2:]
     act = jnp.maximum(0.0, mu - rho * g).reshape(S, sp.K)
+    act_grad = jnp.maximum(0.0, mu - grad_rho * g).reshape(S, sp.K)
     g_sk = g.reshape(S, sp.K)
 
     z_goal = p.z_ref if sp.track_ref else jnp.broadcast_to(p.zf, (S, n))
@@ -160,7 +169,7 @@ def _assemble(sp: StagedProblem, u, p: TrajOptParams, lam, mu, rho):
     f_single = lambda zk, vk: p.rom.f(zk[None], vk[None])[0]
     A = jax.vmap(jax.jacfwd(f_single, argnums=0))(z[:-1], v)   # (N, n, n)
     B = jax.vmap(jax.jacfwd(f_single, argnums=1))(z[:-1], v)   # (N, n, m)
-    lh = lam_dyn + rho * h_dyn                                  # (N, n)
+    lh = lam_dyn + grad_rho * h_dyn                             # (N, n)
     D = D.at[:-1, iz, iz].add(rho * jnp.einsum("kij,kil->kjl", A, A))
     D = D.at[:-1, iz, iv].add(rho * jnp.einsum("kij,kil->kjl", A, B))
     D = D.at[:-1, iv, iz].add(rho * jnp.einsum("kij,kil->kjl", B, A))
@@ -174,7 +183,7 @@ def _assemble(sp: StagedProblem, u, p: TrajOptParams, lam, mu, rho):
     grad = grad.at[1:, iz].add(-lh)
 
     # ---- initial condition ----------------------------------------------
-    lh_ic = lam_ic + rho * h_ic
+    lh_ic = lam_ic + grad_rho * h_ic
     D = D.at[0, 0, 0].add(rho)
     D = D.at[0, 1, 1].add(rho)
     grad = grad.at[0, 0].add(lh_ic[0])
@@ -196,12 +205,12 @@ def _assemble(sp: StagedProblem, u, p: TrajOptParams, lam, mu, rho):
         rho * jnp.einsum("sk,ski,sk->si", arow, dzc, dwc)
     )
     D = D.at[:, iw, iw].add(rho * jnp.einsum("sk,sk,sk->s", arow, dwc, dwc))
-    grad = grad.at[:, :2].add(-jnp.einsum("ski,sk->si", dzc, act))
-    grad = grad.at[:, iw].add(-jnp.einsum("sk,sk->s", dwc, act))
+    grad = grad.at[:, :2].add(-jnp.einsum("ski,sk->si", dzc, act_grad))
+    grad = grad.at[:, iw].add(-jnp.einsum("sk,sk->s", dwc, act_grad))
 
     # ---- tube dynamics ---------------------------------------------------
     U_nn = None
-    lh_t = lam_tube + rho * h_tube                               # (N,)
+    lh_t = lam_tube + grad_rho * h_tube                          # (N,)
     if sp.tube_kind in ("l1", "l2"):
         if sp.tube_kind == "l1":
             t = sp.scaling * jnp.sign(v)                         # (N, m)
@@ -231,7 +240,7 @@ def _assemble(sp: StagedProblem, u, p: TrajOptParams, lam, mu, rho):
         rows = jnp.arange(1, S)
         Jt = Jt.at[jnp.arange(N), rows, iw].add(-1.0)
         U_nn = jnp.sqrt(rho) * jnp.moveaxis(Jt.reshape(N, S, b), 0, -1)
-        grad = grad + jnp.einsum("sbr,r->sb", U_nn, lh_t) / jnp.sqrt(rho)
+        grad = grad + jnp.einsum("rsb,r->sb", Jt, lh_t)
 
     return grad, D, L, U_nn
 
@@ -324,7 +333,8 @@ def solve_tube_fast_single(
             converged | ~grow, rho,
             jnp.minimum(rho * cfg.rho_growth, cfg.rho_max),
         )
-        grad, _, _, _ = _assemble(sp, u_new, p, lam_new, mu_new, rho)
+        grad, _, _, _ = _assemble(sp, u_new, p, lam_new, mu_new, rho,
+                                  grad_rho=0.0)
         pg = u_new - jnp.clip(u_new - grad, lb_u, ub_u)
         gnorm = jnp.max(jnp.abs(pg))
         obj_scale = 1.0 + jnp.sqrt(jnp.sum(r * r))
@@ -342,7 +352,7 @@ def solve_tube_fast_single(
             outer_body, init, None, length=cfg.outer_iters
         )
         r, h, g = _residuals(sp, u, p)
-        grad, _, _, _ = _assemble(sp, u, p, lam, mu, rho)
+        grad, _, _, _ = _assemble(sp, u, p, lam, mu, rho, grad_rho=0.0)
     pg = u - jnp.clip(u - grad, lb_u, ub_u)
     return ALSolution(
         x=u.reshape(-1), lam=lam, mu=mu, viol=viol,

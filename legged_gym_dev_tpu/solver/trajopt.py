@@ -190,10 +190,14 @@ def build_nlp_fns(n: int, m: int, N: int, with_tube: bool,
 # Warm starts (ref: tube_trajopt.py:415-440)
 # ---------------------------------------------------------------------------
 
-def warm_start_interpolate(start, goal, N, dt):
+def warm_start_interpolate(start, goal, N, dt, m=None):
     alpha = jnp.linspace(0.0, 1.0, N + 1)[:, None]
     z_init = start[None, :] + alpha * (goal - start)[None, :]
     v_init = jnp.diff(z_init, axis=0) / dt
+    if m is not None and m != z_init.shape[-1]:
+        # State-difference inputs only make sense when the input directly
+        # drives every state dim (SingleInt2D); otherwise start from zeros.
+        v_init = jnp.zeros((N, m))
     return z_init, v_init
 
 
@@ -210,7 +214,7 @@ def get_warm_start(kind: str, p: TrajOptParams, N: int,
     if kind == "goal":
         return warm_start_constant(p.zf, N, m)
     if kind == "interpolate":
-        return warm_start_interpolate(p.z0, p.zf, N, p.rom.dt)
+        return warm_start_interpolate(p.z0, p.zf, N, p.rom.dt, m=m)
     if kind == "nominal":
         z, v, _sol = solve_nominal(p, N, cfg=cfg, warm_start=nominal_ws)
         return z, v

@@ -30,10 +30,7 @@ from ..core.rom import DoubleInt2D, RomDynamics, SingleInt2D
 from .samplers import UniformSampleHoldDT, UniformWeightSampler
 
 
-def _mwhere(mask, new, old):
-    """Masked update broadcasting mask over trailing dims."""
-    m = mask.reshape(mask.shape + (1,) * (new.ndim - mask.ndim))
-    return jnp.where(m, new, old)
+from ..core.maths import masked_update as _mwhere  # noqa: E402
 
 
 @struct.dataclass

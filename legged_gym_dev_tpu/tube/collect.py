@@ -106,9 +106,14 @@ def collect_velocity_tracking(
     An external ROM trajectory generator produces the plan; a P controller
     on the projection error writes [vx, vy] commands into the env's command
     slots (the reference patches obs slots 9-11 directly; here we set
-    ``state.commands``), and the trained velocity policy tracks them. Records
+    ``state.commands`` and rebuild the observation so the policy sees the
+    fresh command with zero latency). Commands are rotated into the base
+    yaw frame — the env and the trained policy treat commands as
+    body-frame (the reference applies the same yaw2rot, ref
+    data_collection_velocity.py err_local/des_vel_local). Records
     (z, pz_x, v, done) at ROM ticks like the trajectory collector.
     """
+    from ..core.maths import quat_to_yaw, yaw2rot
     rom = traj_gen.rom
     T = int(round(float(episode_length_s) / float(rom.dt)))
     steps_per_rom = max(1, int(round(float(rom.dt) / env.dt)))
@@ -128,11 +133,18 @@ def collect_velocity_tracking(
             pz_x = rom.proj_z(state.robot.root_states)
             z_des = traj_gen.get_trajectory(tg)[:, 0, :2]
             v_des = tg.v[:, :2]
-            cmd = jnp.clip(Kp * (z_des - pz_x[:, :2]) + v_des, -1.0, 1.0)
-            state = state.replace(
-                commands=state.commands.at[:, :2].set(cmd)
+            cmd_world = Kp * (z_des - pz_x[:, :2]) + v_des
+            yaw = quat_to_yaw(state.robot.base_quat)
+            cmd_body = jnp.clip(
+                jnp.einsum("bij,bj->bi", yaw2rot(yaw), cmd_world), -1.0, 1.0
             )
-            actions = policy(obs)
+            state = state.replace(
+                commands=state.commands.at[:, :2].set(cmd_body)
+                .at[:, 2].set(0.0)
+            )
+            # Rebuild obs so the policy acts on the freshly injected command
+            # (the reference patches obs in place right before policy()).
+            actions = policy(env._obs(state))
             state, tr = env.step(state, actions)
             tg = traj_gen.step(tg)
             return (state, tg, tr.obs), tr.done

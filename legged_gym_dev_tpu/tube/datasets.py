@@ -297,8 +297,9 @@ def scalar_horizon_tube_dataset(r: RolloutData, H_fwd: int = 50,
             ok = np.ones(T, bool)
             for d in done_t:
                 ok[max(0, d - H_fwd - 1): d + H_rev + 1] = False
-            # window start t indexes the padded series: t in [H_rev, T-H_fwd)
-            for t in range(H_rev, T - H_fwd):
+            # Window start t indexes the PADDED series (length T + H_rev):
+            # the target slice w[t+1 : t+H_fwd+1] needs t <= T+H_rev-H_fwd-1.
+            for t in range(H_rev, T + H_rev - H_fwd - 1):
                 if ok[t - H_rev]:
                     pairs.append((e, t))
         valid = (np.asarray(pairs, np.int64) if pairs else None)

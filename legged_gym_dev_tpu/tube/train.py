@@ -91,7 +91,7 @@ def train_tube(
         }
 
     history: List[Dict] = []
-    best_model, best_cov = model, -1.0
+    best_model, best_loss = model, float("inf")
     steps_per_epoch = max(
         1, (len(train_ds) * (8 if horizon else 1)) // cfg.batch_size
     )
@@ -109,8 +109,11 @@ def train_tube(
                "grad_norm": float(np.mean(gnorms))}
         if (epoch + 1) % cfg.eval_every == 0 or epoch == cfg.epochs - 1:
             rec.update(evaluate(test_ds))
-            if rec["coverage"] >= best_cov:
-                best_cov, best_model = rec["coverage"], model
+            # Best by lowest loss (ref train_tube.py:35-37): coverage is
+            # monotone in over-prediction, so maximizing it would lock in
+            # the most conservative (widest-tube) checkpoint.
+            if rec["loss"] <= best_loss:
+                best_loss, best_model = rec["loss"], model
         history.append(rec)
     return TrainResult(model=model, best_model=best_model, history=history)
 
