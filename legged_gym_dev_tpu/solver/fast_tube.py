@@ -429,3 +429,84 @@ def solve_tube_fast_batched(p_batch: TrajOptParams, N, H_rev,
     fn = functools.partial(solve_tube_fast, N=N, H_rev=H_rev,
                            tube_kind=tube_kind, scaling=scaling, cfg=cfg, **kw)
     return jax.vmap(fn)(p_batch)
+
+
+# ---------------------------------------------------------------------------
+# Closed-loop receding horizon on the structured solver
+# ---------------------------------------------------------------------------
+
+def closed_loop_tube_mpc_fast(
+    p: TrajOptParams,
+    robot,
+    tube_kind: str = "l1",
+    scaling: float = 0.5,
+    H: int = 75,
+    N: int = 50,
+    H_rev: int = 10,
+    Kp: float = 10.0,
+    Kd: float = 10.0,
+    cfg_first: ALConfig = ALConfig(),
+    cfg_loop: ALConfig = ALConfig(outer_iters=5, inner_iters=6),
+    warm_start: str = "interpolate",
+    tube_ws="evaluate",
+):
+    """Receding-horizon tube MPC with the structured solver in the loop
+    (ref: tube_planning_closed_loop.py; structured counterpart of
+    solver.mpc.closed_loop_tube_mpc).
+
+    The generic-path MPC re-solves through the dense AL solver, whose
+    batched triangular solves exhaust scoped VMEM past ~200 scenarios; the
+    block-tridiagonal path has no such limit and is ~7x faster per
+    re-solve. Returns (z, v, w, pz_x, viol) executed traces.
+    """
+    n, m = p.rom.n, p.rom.m
+    sp = StagedProblem(n=n, m=m, N=N, K=p.obs_r.shape[0],
+                       tube_kind=("nn" if tube_kind == "NN_oneshot"
+                                  else tube_kind),
+                       scaling=scaling, track_ref=False)
+    out0 = solve_tube_fast(p, N, H_rev, tube_kind=tube_kind, scaling=scaling,
+                           cfg=cfg_first, warm_start=warm_start,
+                           tube_ws=tube_ws)
+    lb_u, ub_u = staged_bounds(p, n, m, N)
+    x0 = jnp.concatenate([p.z0[:2], jnp.zeros(2)])
+
+    def body(carry, _):
+        sol, z_cur, x_cur, e_hist, v_prev, p_cur = carry
+        u = sol.x.reshape(N + 1, -1)
+        z_sol, w_sol, v_sol = unpack_staged(u, n, m, N)
+
+        u_pd = robot.clip_v_z(
+            x_cur[None, :],
+            Kp * (z_sol[0] - x_cur[:2])[None, :]
+            + Kd * (v_sol[1] - x_cur[2:])[None, :],
+        )[0]
+        x_next = robot.f(x_cur[None, :], u_pd[None, :])[0]
+        pz_x_next = robot.proj_z(x_next[None, :])[0]
+
+        v_apply = v_sol[0]
+        z_next = p_cur.rom.f(z_cur[None, :], v_apply[None, :])[0]
+
+        pz_x_cur = robot.proj_z(x_cur[None, :])[0]
+        e_new = jnp.linalg.norm(z_cur - pz_x_cur)
+        e_hist = jnp.concatenate([e_hist[1:], e_new[None]])
+        v_prev = jnp.concatenate([v_prev[1:], v_apply[None, :]], axis=0)
+
+        p_new = p_cur.replace(z0=z_next, e_hist=e_hist, v_prev=v_prev)
+        sol_new = solve_tube_fast_single(
+            sp, p_new, u, lb_u, ub_u, cfg_loop,
+            lam0=sol.lam, mu0=sol.mu, rho_init=sol.rho,
+        )
+        outs = (z_next, v_apply, w_sol[1], pz_x_next, sol_new.viol)
+        return (sol_new, z_next, x_next, e_hist, v_prev, p_new), outs
+
+    carry0 = (out0.sol, p.z0, x0, p.e_hist, p.v_prev, p)
+    _, (z_t, v_t, w_t, pzx_t, viols) = jax.lax.scan(
+        body, carry0, None, length=H
+    )
+    return (
+        jnp.concatenate([p.z0[None], z_t], axis=0),
+        v_t,
+        jnp.concatenate([jnp.zeros((1,)), w_t], axis=0),
+        jnp.concatenate([robot.proj_z(x0[None, :]), pzx_t], axis=0),
+        viols,
+    )

@@ -103,3 +103,29 @@ def test_batched_closed_loop():
     assert np.all(np.isfinite(np.asarray(trace.z)))
     # Different starts -> different executed paths.
     assert np.std(np.asarray(trace.z[:, 5, 0])) > 1e-4
+
+def test_fast_closed_loop_matches_goal_and_feasibility():
+    """Structured-path receding horizon (solver/fast_tube.py) reaches the
+    gap goal with feasible re-solves, like the generic path above."""
+    from legged_gym_dev_tpu.solver.fast_tube import closed_loop_tube_mpc_fast
+
+    prob, p, robot = setup()
+    run = jax.jit(
+        lambda p: closed_loop_tube_mpc_fast(
+            p, robot, tube_kind="l1", scaling=0.5, H=H, N=N, H_rev=H_REV,
+            warm_start="nominal",
+        )
+    )
+    z, v, w, pz_x, viol = run(p)
+    z, w, pz_x, viol = map(np.asarray, (z, w, pz_x, viol))
+    assert np.all(np.isfinite(z))
+    assert np.linalg.norm(z[-1] - prob["goal"]) < 0.15
+    # Obstacles respected with the tube inflation along the executed path.
+    d = z[:, None, :] - prob["obs"]["c"][None]
+    dist = np.sqrt((d * d).sum(-1))
+    margin = dist - (prob["obs"]["r"][None] + w[:, None])
+    assert margin.min() > -0.05, margin.min()
+    assert np.median(viol) < 1e-4 and viol.max() < 0.05
+    # Tracking robot follows the plan.
+    err = np.linalg.norm(z - pz_x, axis=-1)
+    assert err.max() < 0.2
