@@ -296,8 +296,9 @@ def mass_matrix_at(model, base_pos, base_R, q, d):
     return M
 
 
-def mass_matrix(model, state: "RobotState"):
-    """Batched M(q): (B, nv, nv)."""
+def mass_matrix_autodiff(model, state: "RobotState"):
+    """Batched M(q): (B, nv, nv). Autodiff reference form (see kinematics.py
+    for the analytic hot path; cross-checked in tests/test_sim_dynamics.py)."""
 
     def single(base_pos, base_quat, q):
         base_R = quat_to_rotmat(base_quat)
@@ -307,7 +308,7 @@ def mass_matrix(model, state: "RobotState"):
     return jax.vmap(single)(state.base_pos, state.base_quat, state.q)
 
 
-def bias_forces(model, state: "RobotState"):
+def bias_forces_autodiff(model, state: "RobotState"):
     """Batched Coriolis/centrifugal + gravity bias c(q, v): (B, nv).
 
     Lagrangian identity in tangent coordinates:
@@ -343,7 +344,7 @@ def bias_forces(model, state: "RobotState"):
     return jax.vmap(single)(state.base_pos, state.base_quat, state.q, state.v)
 
 
-def contact_kinematics(model, state: "RobotState"):
+def contact_kinematics_autodiff(model, state: "RobotState"):
     """World positions, velocities, and Jacobians of contact spheres.
 
     Returns (pos (B,nc,3), vel (B,nc,3), Jc (B,nc,3,nv))."""
@@ -366,6 +367,42 @@ def contact_kinematics(model, state: "RobotState"):
     return jax.vmap(single)(state.base_pos, state.base_quat, state.q, state.v)
 
 
+# Public entry points delegate to the analytic hot path (kinematics.py);
+# the autodiff forms above remain as independent references for tests.
+def mass_matrix(model, state: "RobotState"):
+    """Batched M(q): (B, nv, nv)."""
+    from .kinematics import mass_matrix as _mm
+    return _mm(model, state)
+
+
+def bias_forces(model, state: "RobotState"):
+    """Batched Coriolis/centrifugal + gravity bias c(q, v): (B, nv)."""
+    from .kinematics import bias_forces as _bf
+    return _bf(model, state)
+
+
+def contact_kinematics(model, state: "RobotState"):
+    """World positions, velocities, Jacobians of contact spheres:
+    (pos (B,nc,3), vel (B,nc,3), Jc (B,nc,3,nv))."""
+    from .kinematics import contact_kinematics as _ck
+    return _ck(model, state)
+
+
+def solve_qdd(M: jax.Array, rhs: jax.Array) -> jax.Array:
+    """qdd = M^{-1} rhs via batched Cholesky with scale-relative
+    regularization: small robots have joint inertias ~1e-3, so an absolute
+    epsilon would visibly perturb their accelerations.
+
+    Uses the solver's unrolled elementwise Cholesky: XLA's tiny-block
+    `cholesky`/`triangular_solve` custom calls are pathologically slow on
+    TPU (docs/PERF.md), while the unrolled form fuses on the VPU."""
+    from ..solver.block_tridiag import _chol_solve, small_cholesky
+
+    diag_min = jnp.min(jnp.diagonal(M, axis1=-2, axis2=-1), axis=-1)
+    M = M + (1e-6 * diag_min)[..., None, None] * jnp.eye(M.shape[-1])
+    return _chol_solve(small_cholesky(M), rhs)
+
+
 def forward_dynamics(model, state: "RobotState", tau: jax.Array,
                      f_ext_generalized: jax.Array) -> jax.Array:
     """qdd = M^{-1} (S tau + f_ext - c); tau is (B, nj) joint torques."""
@@ -373,15 +410,7 @@ def forward_dynamics(model, state: "RobotState", tau: jax.Array,
     c = bias_forces(model, state)
     rhs = f_ext_generalized - c
     rhs = rhs.at[..., 6:].add(tau)
-    # Scale-relative regularization: small robots have joint inertias ~1e-3,
-    # so an absolute epsilon would visibly perturb their accelerations.
-    diag_min = jnp.min(jnp.diagonal(M, axis1=-2, axis2=-1), axis=-1)
-    M = M + (1e-6 * diag_min)[..., None, None] * jnp.eye(M.shape[-1])
-    return jax.vmap(
-        lambda m, r: jax.scipy.linalg.cho_solve(
-            jax.scipy.linalg.cho_factor(m, lower=True), r
-        )
-    )(M, rhs)
+    return solve_qdd(M, rhs)
 
 
 def integrate(model, state: "RobotState", qdd: jax.Array,

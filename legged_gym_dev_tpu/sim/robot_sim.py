@@ -22,15 +22,8 @@ import jax.numpy as jnp
 from flax import struct
 
 from .contact import ContactParams, contact_forces, flat_terrain
-from .dynamics import (
-    RobotModel,
-    RobotState,
-    bias_forces,
-    contact_kinematics,
-    forward_dynamics,
-    integrate,
-    mass_matrix,
-)
+from .dynamics import RobotModel, RobotState, integrate
+from .kinematics import substep_core
 
 
 @struct.dataclass
@@ -108,13 +101,14 @@ class RobotSim:
         tau = jnp.clip(tau, -self.model.effort_limit, self.model.effort_limit)
         tau = tau + self._passive_tau(state)
 
-        # Contact: sphere kinematics -> penalty forces -> generalized forces.
-        pos, vel, Jc = contact_kinematics(self.model, state)
-        f = contact_forces(self.contact, pos, vel, self.model.contact_radius,
-                           self.terrain_fn)
-        f_gen = jnp.einsum("bcik,bci->bk", Jc, f)
-
-        qdd = forward_dynamics(self.model, state, tau, f_gen)
+        # Fused scalar-graph pass (kinematics.substep_core): one FK chain
+        # traversal shared by M, bias, contact, and the unrolled solve.
+        qdd = substep_core(
+            self.model, state, tau,
+            lambda pos, vel: contact_forces(
+                self.contact, pos, vel, self.model.contact_radius,
+                self.terrain_fn),
+        )
         new = integrate(self.model, state, qdd, self.dt)
         # Joint velocity caps enforced by clamping (PhysX enforces URDF
         # velocity limits at the solver level; a penalty force here would be

