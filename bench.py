@@ -36,8 +36,9 @@ def main():
 
     N, H_REV = 50, 10
     # Scenarios per solve batch (target: >=1000 per host). Measured best
-    # throughput at 1024 (1130 solves/s); 8192 sustains ~1020 solves/s.
-    B = int(os.environ.get("BENCH_BATCH", "1024"))
+    # throughput at 4096 (~8.7k solves/s with the scalar-entry staged
+    # solver; 1024 gives ~4.9k, 8192 sustains ~8k).
+    B = int(os.environ.get("BENCH_BATCH", "4096"))
 
     prob = PROBLEM_DICT["gap"]
     pm = make_rom(

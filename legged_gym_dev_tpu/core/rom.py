@@ -96,6 +96,30 @@ class RomDynamics:
         """Per-dim reward weights from a RewardWeighting config (ref :178-180)."""
         raise NotImplementedError
 
+    # ---- entry ("scalar graph") form --------------------------------------
+    # The staged tube solver keeps every per-stage quantity as a list of
+    # flat arrays — one per state/input coordinate — so XLA never sees a
+    # tiny minor dimension that would pad to an (8, 128) TPU tile (same
+    # trick as sim/kinematics.py). These methods express the dynamics and
+    # their exact Jacobians in that form; entries may be Python float 0.0
+    # (symbolic zero, skipped at trace time) or broadcastable arrays.
+
+    def f_entries(self, z_e, v_e):
+        """Entry-form dynamics: lists of coordinate arrays -> list of n.
+
+        Default falls back to the array form (subclasses override with the
+        closed-form scalar graph)."""
+        z = jnp.stack(list(z_e), axis=-1)
+        v = jnp.stack(list(v_e), axis=-1)
+        out = self.f(z, v)
+        return [out[..., i] for i in range(self.n)]
+
+    def f_jac_entries(self, z_e, v_e):
+        """Exact per-coordinate Jacobians of ``f``: (A, B) nested lists with
+        A[i][j] = df_i/dz_j and B[i][j] = df_i/dv_j; entries are arrays
+        broadcastable against the inputs, or float 0.0/1.0 constants."""
+        raise NotImplementedError
+
 
 @struct.dataclass
 class SingleInt2D(RomDynamics):
@@ -118,6 +142,13 @@ class SingleInt2D(RomDynamics):
 
     def weighting_vector(self, w):
         return jnp.array([w.position, w.position], jnp.float32)
+
+    def f_entries(self, z_e, v_e):
+        return [z_e[0] + self.dt * v_e[0], z_e[1] + self.dt * v_e[1]]
+
+    def f_jac_entries(self, z_e, v_e):
+        dt = self.dt
+        return ([[1.0, 0.0], [0.0, 1.0]], [[dt, 0.0], [0.0, dt]])
 
 
 @struct.dataclass
@@ -159,6 +190,18 @@ class DoubleInt2D(RomDynamics):
             [w.position, w.position, w.velocity, w.velocity], jnp.float32
         )
 
+    def f_entries(self, z_e, v_e):
+        dt = self.dt
+        return [z_e[0] + dt * z_e[2], z_e[1] + dt * z_e[3],
+                z_e[2] + dt * v_e[0], z_e[3] + dt * v_e[1]]
+
+    def f_jac_entries(self, z_e, v_e):
+        dt = self.dt
+        A = [[1.0, 0.0, dt, 0.0], [0.0, 1.0, 0.0, dt],
+             [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+        B = [[0.0, 0.0], [0.0, 0.0], [dt, 0.0], [0.0, dt]]
+        return A, B
+
 
 @struct.dataclass
 class Unicycle(RomDynamics):
@@ -185,6 +228,21 @@ class Unicycle(RomDynamics):
 
     def weighting_vector(self, w):
         return jnp.array([w.position, w.position, w.orientation], jnp.float32)
+
+    def f_entries(self, z_e, v_e):
+        dt = self.dt
+        c, s = jnp.cos(z_e[2]), jnp.sin(z_e[2])
+        return [z_e[0] + dt * v_e[0] * c, z_e[1] + dt * v_e[0] * s,
+                z_e[2] + dt * v_e[1]]
+
+    def f_jac_entries(self, z_e, v_e):
+        dt = self.dt
+        c, s = jnp.cos(z_e[2]), jnp.sin(z_e[2])
+        A = [[1.0, 0.0, -dt * v_e[0] * s],
+             [0.0, 1.0, dt * v_e[0] * c],
+             [0.0, 0.0, 1.0]]
+        B = [[dt * c, 0.0], [dt * s, 0.0], [0.0, dt]]
+        return A, B
 
 
 @struct.dataclass
@@ -215,6 +273,22 @@ class LateralUnicycle(Unicycle):
              w.angular_velocity],
             jnp.float32,
         )
+
+    def f_entries(self, z_e, v_e):
+        dt = self.dt
+        c, s = jnp.cos(z_e[2]), jnp.sin(z_e[2])
+        return [z_e[0] + dt * (v_e[0] * c - v_e[1] * s),
+                z_e[1] + dt * (v_e[0] * s + v_e[1] * c),
+                z_e[2] + dt * v_e[2]]
+
+    def f_jac_entries(self, z_e, v_e):
+        dt = self.dt
+        c, s = jnp.cos(z_e[2]), jnp.sin(z_e[2])
+        A = [[1.0, 0.0, dt * (-v_e[0] * s - v_e[1] * c)],
+             [0.0, 1.0, dt * (v_e[0] * c - v_e[1] * s)],
+             [0.0, 0.0, 1.0]]
+        B = [[dt * c, -dt * s, 0.0], [dt * s, dt * c, 0.0], [0.0, 0.0, dt]]
+        return A, B
 
 
 @struct.dataclass
@@ -269,6 +343,24 @@ class ExtendedUnicycle(Unicycle):
             jnp.float32,
         )
 
+    def f_entries(self, z_e, v_e):
+        dt = self.dt
+        c, s = jnp.cos(z_e[2]), jnp.sin(z_e[2])
+        return [z_e[0] + dt * z_e[3] * c, z_e[1] + dt * z_e[3] * s,
+                z_e[2] + dt * z_e[4], z_e[3] + dt * v_e[0],
+                z_e[4] + dt * v_e[1]]
+
+    def f_jac_entries(self, z_e, v_e):
+        dt = self.dt
+        c, s = jnp.cos(z_e[2]), jnp.sin(z_e[2])
+        A = [[1.0, 0.0, -dt * z_e[3] * s, dt * c, 0.0],
+             [0.0, 1.0, dt * z_e[3] * c, dt * s, 0.0],
+             [0.0, 0.0, 1.0, 0.0, dt],
+             [0.0, 0.0, 0.0, 1.0, 0.0],
+             [0.0, 0.0, 0.0, 0.0, 1.0]]
+        B = [[0.0, 0.0], [0.0, 0.0], [0.0, 0.0], [dt, 0.0], [0.0, dt]]
+        return A, B
+
 
 @struct.dataclass
 class ExtendedLateralUnicycle(ExtendedUnicycle):
@@ -312,6 +404,27 @@ class ExtendedLateralUnicycle(ExtendedUnicycle):
              w.angular_velocity],
             jnp.float32,
         )
+
+    def f_entries(self, z_e, v_e):
+        dt = self.dt
+        c, s = jnp.cos(z_e[2]), jnp.sin(z_e[2])
+        return [z_e[0] + dt * (z_e[3] * c - z_e[4] * s),
+                z_e[1] + dt * (z_e[3] * s + z_e[4] * c),
+                z_e[2] + dt * z_e[5], z_e[3] + dt * v_e[0],
+                z_e[4] + dt * v_e[1], z_e[5] + dt * v_e[2]]
+
+    def f_jac_entries(self, z_e, v_e):
+        dt = self.dt
+        c, s = jnp.cos(z_e[2]), jnp.sin(z_e[2])
+        A = [[1.0, 0.0, dt * (-z_e[3] * s - z_e[4] * c), dt * c, -dt * s, 0.0],
+             [0.0, 1.0, dt * (z_e[3] * c - z_e[4] * s), dt * s, dt * c, 0.0],
+             [0.0, 0.0, 1.0, 0.0, 0.0, dt],
+             [0.0, 0.0, 0.0, 1.0, 0.0, 0.0],
+             [0.0, 0.0, 0.0, 0.0, 1.0, 0.0],
+             [0.0, 0.0, 0.0, 0.0, 0.0, 1.0]]
+        B = [[0.0, 0.0, 0.0], [0.0, 0.0, 0.0], [0.0, 0.0, 0.0],
+             [dt, 0.0, 0.0], [0.0, dt, 0.0], [0.0, 0.0, dt]]
+        return A, B
 
 
 ROM_REGISTRY = {

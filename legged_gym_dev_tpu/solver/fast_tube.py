@@ -260,7 +260,35 @@ def solve_tube_fast_single(
     mu0=None,
     rho_init=None,
 ) -> ALSolution:
-    """AL-GN on the staged layout (single scenario; vmap to batch)."""
+    """AL-GN on the staged layout (single scenario; vmap to batch).
+
+    The l1/l2 tube family dispatches to the scalar-entry ("lane-major")
+    implementation in staged_scalar.py — same algorithm, ~3x faster on TPU
+    (no tiny minor dims to pad to (8,128) tiles; see docs/PERF.md). The
+    NN tube keeps the array path (Woodbury low-rank correction).
+    """
+    if sp.tube_kind in ("l1", "l2"):
+        from .staged_scalar import solve_staged_scalar
+
+        return solve_staged_scalar(sp, p, u0, lb_u, ub_u, cfg,
+                                   lam0=lam0, mu0=mu0, rho_init=rho_init)
+    return solve_tube_fast_single_array(sp, p, u0, lb_u, ub_u, cfg,
+                                        lam0=lam0, mu0=mu0,
+                                        rho_init=rho_init)
+
+
+def solve_tube_fast_single_array(
+    sp: StagedProblem,
+    p: TrajOptParams,
+    u0: jax.Array,
+    lb_u: jax.Array,
+    ub_u: jax.Array,
+    cfg: ALConfig = ALConfig(),
+    lam0=None,
+    mu0=None,
+    rho_init=None,
+) -> ALSolution:
+    """Array-form staged AL-GN (the (S, b, b)-block implementation)."""
     S, b = u0.shape
     r0, h0, g0 = _residuals(sp, u0, p)
     E, I = h0.shape[0], g0.shape[0]
@@ -292,20 +320,18 @@ def solve_tube_fast_single(
         d = jnp.where(free, d, 0.0)
         dir_deriv = jnp.sum(grad * d)
 
-        def ls_body(carry, _):
-            alpha, best_u, best_merit, done = carry
-            u_try = jnp.clip(u + alpha * d, lb_u, ub_u)
-            m_try = _merit(sp, u_try, p, lam, mu, rho)
-            ok = (m_try <= merit + cfg.armijo * alpha * dir_deriv) & ~done
-            best_u = jnp.where(ok, u_try, best_u)
-            best_merit = jnp.where(ok, m_try, best_merit)
-            return (alpha * cfg.ls_backtrack, best_u, best_merit,
-                    done | ok), None
-
-        (_, u_new, _, _), _ = jax.lax.scan(
-            ls_body, (jnp.asarray(1.0, u.dtype), u, merit, jnp.asarray(False)),
-            None, length=cfg.ls_iters,
-        )
+        # Parallel Armijo backtracking: evaluate every candidate step at once
+        # (merit is a cheap elementwise residual; the sequential scan's 10
+        # chained evals were ~a third of the solve's critical path) and take
+        # the FIRST (largest) alpha that passes — identical semantics to the
+        # sequential backtracking loop.
+        alphas = cfg.ls_backtrack ** jnp.arange(cfg.ls_iters, dtype=u.dtype)
+        u_trys = jnp.clip(u[None] + alphas[:, None, None] * d[None],
+                          lb_u[None], ub_u[None])
+        m_trys = jax.vmap(lambda ut: _merit(sp, ut, p, lam, mu, rho))(u_trys)
+        ok = m_trys <= merit + cfg.armijo * alphas * dir_deriv
+        idx = jnp.argmax(ok)
+        u_new = jnp.where(jnp.any(ok), u_trys[idx], u)
         pg = u - jnp.clip(u - grad, lb_u, ub_u)
         return u_new, jnp.max(jnp.abs(pg))
 

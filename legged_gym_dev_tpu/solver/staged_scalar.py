@@ -1,0 +1,672 @@
+"""Scalar-entry ("lane-major") staged tube solve: the TPU-fast path.
+
+Same AL Gauss-Newton algorithm and block-Thomas factorization as
+``fast_tube`` / ``block_tridiag``, but every per-stage object — gradient,
+GN diagonal/sub-diagonal blocks, Cholesky factors, residuals — is kept as
+Python lists of flat ``(S,)`` arrays (one per matrix ENTRY) instead of
+``(S, b, b)`` arrays. Rationale (measured, see docs/PERF.md): arrays whose
+two minor dims are the tiny block size b≈5 pad to (8, 128) TPU tiles, a
+~35x HBM-traffic blowup; the assemble step's ~20 scatter ops on such
+arrays dominated the whole batched solve. In entry form XLA sees only
+elementwise ops on (S,)/(B, S) arrays that fuse on the VPU — the same
+"scalar graph" technique as ``sim/kinematics.py``.
+
+Zero entries are represented as Python float ``0.0`` (``None`` inside scan
+pytrees) and skipped at trace time, so the sparsity of the staged blocks
+(dynamics rows touch only (z, v), the tube row only (w, v)) is exploited
+exactly.
+
+Replaces IPOPT+MUMPS' sparse factorization (ref: trajopt/tube_trajopt.py:
+256-277) for the l1/l2 tube family; the one-shot NN tube keeps the array
+path (Woodbury) in ``fast_tube``. Verified against the generic dense
+solver in tests/test_fast_tube.py.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .al_solver import ALConfig, ALSolution
+
+
+# ---------------------------------------------------------------------------
+# symbolic-zero helpers
+# ---------------------------------------------------------------------------
+
+def _is0(x) -> bool:
+    return isinstance(x, (int, float)) and x == 0.0
+
+
+def _mul(a, b):
+    if _is0(a) or _is0(b):
+        return 0.0
+    return a * b
+
+
+def _add(a, b):
+    if _is0(a):
+        return b
+    if _is0(b):
+        return a
+    return a + b
+
+
+def _sub(a, b):
+    if _is0(b):
+        return a
+    if _is0(a):
+        return -b
+    return a - b
+
+
+def _none_to_zero(t):
+    return jax.tree.map(lambda x: x, t) if t is not None else 0.0
+
+
+# ---------------------------------------------------------------------------
+# entry-form residual pieces
+# ---------------------------------------------------------------------------
+
+def _split_e(u_e, sp):
+    n, m = sp.n, sp.m
+    z_e = list(u_e[:n])                               # each (..., S)
+    w = u_e[n]                                        # (..., S)
+    v_e = [u_e[n + 1 + j][..., :-1] for j in range(m)]  # each (..., N)
+    return z_e, w, v_e
+
+
+def _tube_fw_e(sp, v_e):
+    if sp.tube_kind == "l1":
+        fw = 0.0
+        for vj in v_e:
+            fw = _add(fw, sp.scaling * jnp.abs(vj))
+        return fw
+    # l2
+    fw = 0.0
+    for vj in v_e:
+        fw = _add(fw, sp.scaling * vj * vj)
+    return fw
+
+
+def _h_entries(sp, z_e, w, v_e, p):
+    """(h_dyn list n of (..., N), h_ic list 2 of (...,), h_tube (..., N))."""
+    zk = [z[..., :-1] for z in z_e]
+    f_e = p.rom.f_entries(zk, v_e)
+    h_dyn = [f_e[i] - z_e[i][..., 1:] for i in range(sp.n)]
+    h_ic = [z_e[0][..., 0] - p.z0[0], z_e[1][..., 0] - p.z0[1]]
+    h_tube = _tube_fw_e(sp, v_e) - w[..., 1:]
+    return h_dyn, h_ic, h_tube
+
+
+def _g_entries(z_e, w, p, K):
+    gs = []
+    for k in range(K):
+        d0 = z_e[0] - p.obs_c[k, 0]
+        d1 = z_e[1] - p.obs_c[k, 1]
+        rw = p.obs_r[k] + w
+        gs.append(d0 * d0 + d1 * d1 - rw * rw)        # (..., S)
+    return gs
+
+
+def _objective_r2(sp, z_e, w, v_e, p):
+    """sum(r^2); supports extra leading axes on the entries."""
+    n, m = sp.n, sp.m
+    if sp.track_ref:
+        zg = [p.z_ref[:, i] for i in range(n)]
+        vg = [p.v_ref[:, j] for j in range(m)]
+    else:
+        zg = [p.zf[i] for i in range(n)]
+        vg = [0.0 for _ in range(m)]
+    dz = [z_e[i] - zg[i] for i in range(n)]
+    dv = [_sub(v_e[j], vg[j]) for j in range(m)]
+
+    r2 = 0.0
+    for i in range(n):
+        row = 0.0
+        rowf = 0.0
+        for j in range(n):
+            row = _add(row, _mul(dz[j], p.Lq[j, i]))
+            rowf = _add(rowf, _mul(dz[j][..., -1], p.Lqf[j, i]))
+        if not _is0(row):
+            r2 = _add(r2, jnp.sum(row[..., :-1] ** 2, axis=-1))
+        if not _is0(rowf):
+            r2 = _add(r2, rowf ** 2)
+    for i in range(m):
+        row = 0.0
+        for j in range(m):
+            row = _add(row, _mul(dv[j], p.Lr[j, i]))
+        if not _is0(row):
+            r2 = _add(r2, jnp.sum(row ** 2, axis=-1))
+    r2 = _add(r2, p.sqrt_qw ** 2 * jnp.sum(w * w, axis=-1))
+    return r2
+
+
+def _merit_e(sp, u_e, p, lam, mu, rho):
+    """PHR augmented-Lagrangian merit; identical value to fast_tube._merit.
+    Entries may carry extra leading axes (parallel line search)."""
+    n, N, K = sp.n, sp.N, sp.K
+    z_e, w, v_e = _split_e(u_e, sp)
+    r2 = _objective_r2(sp, z_e, w, v_e, p)
+    h_dyn, h_ic, h_tube = _h_entries(sp, z_e, w, v_e, p)
+
+    lam_dyn = lam[: N * n].reshape(N, n)
+    lam_ic = lam[N * n: N * n + 2]
+    lam_tube = lam[N * n + 2:]
+
+    lin = 0.0
+    quad = 0.0
+    for i in range(n):
+        lin = _add(lin, jnp.sum(lam_dyn[:, i] * h_dyn[i], axis=-1))
+        quad = _add(quad, jnp.sum(h_dyn[i] ** 2, axis=-1))
+    for i in range(2):
+        lin = _add(lin, lam_ic[i] * h_ic[i])
+        quad = _add(quad, h_ic[i] ** 2)
+    lin = _add(lin, jnp.sum(lam_tube * h_tube, axis=-1))
+    quad = _add(quad, jnp.sum(h_tube ** 2, axis=-1))
+
+    g_list = _g_entries(z_e, w, p, K)
+    mu_sk = mu.reshape(sp.N + 1, K)
+    ineq = 0.0
+    for k in range(K):
+        mu_k = mu_sk[:, k]
+        act = jnp.maximum(0.0, mu_k - rho * g_list[k])
+        ineq = _add(ineq, jnp.sum(act * act - mu_k * mu_k, axis=-1))
+
+    return 0.5 * r2 + lin + 0.5 * rho * quad + (0.5 / rho) * ineq
+
+
+# ---------------------------------------------------------------------------
+# entry-form GN assembly
+# ---------------------------------------------------------------------------
+
+def _assemble_e(sp, u_e, p, lam, mu, rho, grad_rho=None):
+    """Entry-form twin of fast_tube._assemble (l1/l2 tube kinds only).
+
+    Returns:
+      grad_e: list b of (S,),
+      D_e:    b x b nested list, lower triangle populated ((S,) or 0.0),
+      L_e:    b x b nested list of ((S-1,) or 0.0), rows = stage k+1 vars.
+    """
+    if grad_rho is None:
+        grad_rho = rho
+    n, m, N, K = sp.n, sp.m, sp.N, sp.K
+    b = n + 1 + m
+    S = N + 1
+    iw = n
+
+    z_e, w, v_e = _split_e(u_e, sp)
+    zk = [z[..., :-1] for z in z_e]
+    h_dyn, h_ic, h_tube = _h_entries(sp, z_e, w, v_e, p)
+    g_list = _g_entries(z_e, w, p, K)
+
+    lam_dyn = lam[: N * n].reshape(N, n)
+    lam_ic = lam[N * n: N * n + 2]
+    lam_tube = lam[N * n + 2:]
+
+    if sp.track_ref:
+        zg = [p.z_ref[:, i] for i in range(n)]
+        vg = [p.v_ref[:, j] for j in range(m)]
+    else:
+        zg = [p.zf[i] for i in range(n)]
+        vg = [0.0 for _ in range(m)]
+
+    zeros_S = jnp.zeros((S,))
+    one_head = jnp.concatenate([jnp.ones((N,)), jnp.zeros((1,))])
+    one_tail = jnp.concatenate([jnp.zeros((N,)), jnp.ones((1,))])
+    one_s1 = jnp.concatenate([jnp.zeros((1,)), jnp.ones((N,))])
+    e0 = zeros_S.at[0].set(1.0)
+
+    def pad_head(x):
+        """(N,)-or-scalar stage-k<N term -> (S,) with 0 at stage N."""
+        if _is0(x):
+            return 0.0
+        x = jnp.asarray(x, jnp.float32)
+        if x.ndim == 0:
+            return x * one_head
+        return jnp.concatenate([x, jnp.zeros((1,))])
+
+    def shift1(x):
+        """(N,)-or-scalar stage-(k+1) term -> (S,) with 0 at stage 0."""
+        if _is0(x):
+            return 0.0
+        x = jnp.asarray(x, jnp.float32)
+        if x.ndim == 0:
+            return x * one_s1
+        return jnp.concatenate([jnp.zeros((1,)), x])
+
+    grad = [0.0] * b
+    D = [[0.0] * b for _ in range(b)]      # lower triangle (i >= j)
+    L = [[0.0] * b for _ in range(b)]
+
+    # ---- objective --------------------------------------------------------
+    Qz = p.Lq @ p.Lq.T
+    Qzf = p.Lqf @ p.Lqf.T
+    Rv = p.Lr @ p.Lr.T
+    dz = [z_e[i] - zg[i] for i in range(n)]
+    dv = [_sub(v_e[j], vg[j]) for j in range(m)]
+    for i in range(n):
+        for j in range(i + 1):
+            D[i][j] = _add(D[i][j], Qz[i, j] * one_head + Qzf[i, j] * one_tail)
+        gz = 0.0
+        for j in range(n):
+            gz = _add(gz, dz[j] * Qz[j, i])
+        gzf = 0.0
+        for j in range(n):
+            gzf = _add(gzf, dz[j][..., -1] * Qzf[j, i])
+        grad[i] = _add(grad[i], _add(gz * one_head, gzf * one_tail))
+    for i in range(m):
+        for j in range(i + 1):
+            D[n + 1 + i][n + 1 + j] = _add(
+                D[n + 1 + i][n + 1 + j], Rv[i, j] * one_head)
+        gv = 0.0
+        for j in range(m):
+            gv = _add(gv, _mul(dv[j], Rv[j, i]))
+        grad[n + 1 + i] = _add(grad[n + 1 + i], pad_head(gv))
+    D[iw][iw] = _add(D[iw][iw], p.sqrt_qw ** 2 * jnp.ones((S,)))
+    grad[iw] = _add(grad[iw], p.sqrt_qw ** 2 * w)
+
+    # ---- dynamics ---------------------------------------------------------
+    A, Bj = p.rom.f_jac_entries(zk, v_e)
+    lh = [lam_dyn[:, i] + grad_rho * h_dyn[i] for i in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            acc = 0.0
+            for l in range(n):
+                acc = _add(acc, _mul(A[l][i], A[l][j]))
+            D[i][j] = _add(D[i][j], rho * pad_head(acc))
+        # identity on next-stage z_i
+        D[i][i] = _add(D[i][i], rho * one_s1)
+    for i in range(m):
+        for j in range(i + 1):
+            acc = 0.0
+            for l in range(n):
+                acc = _add(acc, _mul(Bj[l][i], Bj[l][j]))
+            D[n + 1 + i][n + 1 + j] = _add(
+                D[n + 1 + i][n + 1 + j], rho * pad_head(acc))
+    for i in range(m):          # cross (v_i, z_j): row v (later), col z
+        for j in range(n):
+            acc = 0.0
+            for l in range(n):
+                acc = _add(acc, _mul(A[l][j], Bj[l][i]))
+            D[n + 1 + i][j] = _add(D[n + 1 + i][j], rho * pad_head(acc))
+    for i in range(n):
+        for j in range(n):
+            L[i][j] = _sub(L[i][j], _mul(rho, _bcast_N(A[i][j], N)))
+        for j in range(m):
+            L[i][n + 1 + j] = _sub(
+                L[i][n + 1 + j], _mul(rho, _bcast_N(Bj[i][j], N)))
+    for j in range(n):
+        acc = 0.0
+        for i in range(n):
+            acc = _add(acc, _mul(A[i][j], lh[i]))
+        grad[j] = _add(grad[j], pad_head(acc))
+        grad[j] = _add(grad[j], shift1(-lh[j]))
+    for j in range(m):
+        acc = 0.0
+        for i in range(n):
+            acc = _add(acc, _mul(Bj[i][j], lh[i]))
+        grad[n + 1 + j] = _add(grad[n + 1 + j], pad_head(acc))
+
+    # ---- initial condition ------------------------------------------------
+    for i in range(2):
+        D[i][i] = _add(D[i][i], rho * e0)
+        lh_ic = lam_ic[i] + grad_rho * h_ic[i]
+        grad[i] = _add(grad[i], lh_ic * e0)
+
+    # ---- obstacles ---------------------------------------------------------
+    mu_sk = mu.reshape(S, K)
+    for k in range(K):
+        g_k = g_list[k]
+        act = jnp.maximum(0.0, mu_sk[:, k] - rho * g_k)
+        act_grad = jnp.maximum(0.0, mu_sk[:, k] - grad_rho * g_k)
+        arow = (act > 0.0).astype(jnp.float32)
+        dzc = [2.0 * (z_e[0] - p.obs_c[k, 0]), 2.0 * (z_e[1] - p.obs_c[k, 1])]
+        dwc = -2.0 * (p.obs_r[k] + w)
+        for a in range(2):
+            for c in range(a + 1):
+                D[a][c] = _add(D[a][c], rho * arow * dzc[a] * dzc[c])
+            D[iw][a] = _add(D[iw][a], rho * arow * dzc[a] * dwc)
+            grad[a] = _sub(grad[a], dzc[a] * act_grad)
+        D[iw][iw] = _add(D[iw][iw], rho * arow * dwc * dwc)
+        grad[iw] = _sub(grad[iw], dwc * act_grad)
+
+    # ---- tube dynamics (l1/l2) --------------------------------------------
+    lh_t = lam_tube + grad_rho * h_tube
+    t_e = []
+    for j in range(m):
+        if sp.tube_kind == "l1":
+            t_e.append(sp.scaling * jnp.sign(v_e[j]))
+        else:
+            t_e.append(2.0 * sp.scaling * v_e[j])
+    for i in range(m):
+        for j in range(i + 1):
+            D[n + 1 + i][n + 1 + j] = _add(
+                D[n + 1 + i][n + 1 + j], rho * pad_head(t_e[i] * t_e[j]))
+    D[iw][iw] = _add(D[iw][iw], rho * one_s1)
+    for j in range(m):
+        L[iw][n + 1 + j] = _sub(L[iw][n + 1 + j], rho * t_e[j])
+        grad[n + 1 + j] = _add(grad[n + 1 + j], pad_head(t_e[j] * lh_t))
+    grad[iw] = _add(grad[iw], shift1(-lh_t))
+
+    grad = [g if not _is0(g) else zeros_S for g in grad]
+    return grad, D, L
+
+
+def _bcast_N(x, N):
+    if _is0(x):
+        return 0.0
+    x = jnp.asarray(x, jnp.float32)
+    return jnp.broadcast_to(x, (N,) + x.shape[1:]) if x.ndim <= 1 else x
+
+
+# ---------------------------------------------------------------------------
+# entry-form block-Thomas factor + solve
+# ---------------------------------------------------------------------------
+
+def _chol_e(Sij, b):
+    """Scalar Cholesky of a symmetric block given as lower-entry lists."""
+    c = [[None] * b for _ in range(b)]
+    for j in range(b):
+        acc = Sij[j][j]
+        for k in range(j):
+            acc = _sub(acc, _mul(c[j][k], c[j][k]))
+        d = jnp.sqrt(jnp.maximum(acc, 1e-12))
+        c[j][j] = d
+        inv = 1.0 / d
+        for i in range(j + 1, b):
+            acc2 = Sij[i][j] if i >= j else Sij[j][i]
+            for k in range(j):
+                acc2 = _sub(acc2, _mul(c[i][k], c[j][k]))
+            c[i][j] = _mul(acc2, inv)
+    return c
+
+
+def _chol_solve_e(c, r, b):
+    """Solve (L L^T) x = r with scalar entries; r entries may be 0.0."""
+    y = [None] * b
+    for i in range(b):
+        acc = r[i]
+        for k in range(i):
+            acc = _sub(acc, _mul(c[i][k], y[k]))
+        y[i] = 0.0 if _is0(acc) else acc / c[i][i]
+    x = [None] * b
+    for i in reversed(range(b)):
+        acc = y[i]
+        for k in range(i + 1, b):
+            acc = _sub(acc, _mul(c[k][i], x[k]))
+        x[i] = 0.0 if _is0(acc) else acc / c[i][i]
+    return x
+
+
+def _pack_lower(c, b):
+    """Lower-entry nested list -> flat tuple (for scan carries/outputs)."""
+    return tuple(c[i][j] for i in range(b) for j in range(i + 1))
+
+
+def _unpack_lower(flat, b):
+    c = [[None] * b for _ in range(b)]
+    it = iter(flat)
+    for i in range(b):
+        for j in range(i + 1):
+            c[i][j] = next(it)
+    return c
+
+
+def _materialize(t, like):
+    """None/0.0 pytree leaves -> concrete zeros matching `like` shape."""
+    return jnp.zeros_like(like) if t is None or _is0(t) else t
+
+
+def factor_solve_entries(D_e, L_e, rhs_e, b, unroll=2):
+    """Block-Thomas factor + forward/backward substitution, scalar entries.
+
+    D_e: b x b lower lists of (S,); L_e: b x b lists of ((S-1,) or 0.0);
+    rhs_e: list b of (S,). Returns list b of (S,) solutions.
+    """
+    S = rhs_e[0].shape[-1]
+    Lmask = [[not _is0(L_e[i][j]) for j in range(b)] for i in range(b)]
+
+    # stage-0 factor + forward value
+    D0 = [[D_e[i][j][0] for j in range(i + 1)] for i in range(b)]
+    c0 = _chol_e(D0, b)
+    y0 = _chol_solve_e(c0, [r[0] for r in rhs_e], b)
+    y0 = [jnp.asarray(v, jnp.float32) + 0.0 * rhs_e[0][0] if _is0(v) else v
+          for v in y0]
+
+    # scan inputs: per-stage D (stages 1:), L (stages 0..S-2), rhs (1:)
+    xs = (
+        tuple(tuple(D_e[i][j][1:] for j in range(i + 1)) for i in range(b)),
+        tuple(tuple(L_e[i][j] if Lmask[i][j] else None for j in range(b))
+              for i in range(b)),
+        tuple(r[1:] for r in rhs_e),
+    )
+
+    def fwd_body(carry, inp):
+        c_prev_flat, y_prev = carry
+        Dk, Lk, rk = inp
+        c_prev = _unpack_lower(c_prev_flat, b)
+        Lm = [[Lk[i][j] if Lmask[i][j] else 0.0 for j in range(b)]
+              for i in range(b)]
+        # W = S_prev^{-1} L^T, column j solves rhs[l] = L[j][l]
+        W = [[None] * b for _ in range(b)]
+        for j in range(b):
+            if not any(Lmask[j][l] for l in range(b)):
+                for l in range(b):
+                    W[l][j] = 0.0
+                continue
+            col = _chol_solve_e(c_prev, [Lm[j][l] for l in range(b)], b)
+            for l in range(b):
+                W[l][j] = col[l]
+        Sk = [[None] * (i + 1) for i in range(b)]
+        for i in range(b):
+            for j in range(i + 1):
+                acc = Dk[i][j]
+                for l in range(b):
+                    acc = _sub(acc, _mul(Lm[i][l], W[l][j]))
+                Sk[i][j] = acc
+        ck = _chol_e(Sk, b)
+        # y = chol_solve(ck, r - L y_prev)
+        ry = []
+        for i in range(b):
+            acc = rk[i]
+            for l in range(b):
+                acc = _sub(acc, _mul(Lm[i][l], y_prev[l]))
+            ry.append(acc)
+        y = _chol_solve_e(ck, ry, b)
+        y = [jnp.zeros_like(rk[0]) if _is0(v) else v for v in y]
+        ck_flat = _pack_lower(ck, b)
+        return (ck_flat, tuple(y)), (ck_flat, tuple(y))
+
+    c0_flat = _pack_lower(c0, b)
+    (_, _), (chol_rest, y_rest) = jax.lax.scan(
+        fwd_body, (c0_flat, tuple(y0)), xs, unroll=unroll)
+
+    # stack stage-0 values onto the scan outputs
+    chol_all = tuple(
+        jnp.concatenate([jnp.broadcast_to(c0_flat[e], (1,)), chol_rest[e]])
+        for e in range(len(c0_flat)))
+    y_all = tuple(
+        jnp.concatenate([jnp.broadcast_to(y0[i], (1,)), y_rest[i]])
+        for i in range(b))
+
+    # backward: x_k = y_k - chol_solve(ck, L_k^T x_{k+1})
+    xs_b = (
+        tuple(e[:-1] for e in chol_all),
+        tuple(tuple(L_e[i][j] if Lmask[i][j] else None for j in range(b))
+              for i in range(b)),
+        tuple(y[:-1] for y in y_all),
+    )
+
+    def bwd_body(carry, inp):
+        x_next = carry
+        ck_flat, Lk, yk = inp
+        ck = _unpack_lower(ck_flat, b)
+        Lm = [[Lk[i][j] if Lmask[i][j] else 0.0 for j in range(b)]
+              for i in range(b)]
+        # rhs_i = (L^T x_next)_i = sum_l L[l][i] * x_next[l]
+        rhs = []
+        for i in range(b):
+            acc = 0.0
+            for l in range(b):
+                acc = _add(acc, _mul(Lm[l][i], x_next[l]))
+            rhs.append(acc)
+        corr = _chol_solve_e(ck, rhs, b)
+        x = tuple(yk[i] - corr[i] if not _is0(corr[i]) else yk[i]
+                  for i in range(b))
+        return x, x
+
+    xN = tuple(y[-1] for y in y_all)
+    _, x_rest = jax.lax.scan(bwd_body, xN, xs_b, reverse=True, unroll=unroll)
+    return [jnp.concatenate([x_rest[i], xN[i][None]]) for i in range(b)]
+
+
+# ---------------------------------------------------------------------------
+# AL loop in entry form
+# ---------------------------------------------------------------------------
+
+def solve_staged_scalar(sp, p, u0, lb_u, ub_u, cfg: ALConfig = ALConfig(),
+                        lam0=None, mu0=None, rho_init=None) -> ALSolution:
+    """Entry-form twin of fast_tube.solve_tube_fast_single (l1/l2 tube).
+
+    Single scenario; vmap to batch. Matches the array path to solver
+    tolerance (asserted in tests/test_fast_tube.py).
+    """
+    n, m, N, K = sp.n, sp.m, sp.N, sp.K
+    b = n + 1 + m
+    S = N + 1
+    E = N * n + 2 + N
+    I = S * K
+
+    u0_e = tuple(u0[:, i] for i in range(b))
+    lb_e = tuple(lb_u[:, i] for i in range(b))
+    ub_e = tuple(ub_u[:, i] for i in range(b))
+    eps_e = tuple(1e-9 + 1e-6 * (ub_e[i] - lb_e[i]) for i in range(b))
+
+    lam = jnp.zeros((E,)) if lam0 is None else lam0
+    mu = jnp.zeros((I,)) if mu0 is None else mu0
+    rho = jnp.asarray(cfg.rho0 if rho_init is None else rho_init, jnp.float32)
+
+    def residuals_of(u_e):
+        z_e, w, v_e = _split_e(u_e, sp)
+        h_dyn, h_ic, h_tube = _h_entries(sp, z_e, w, v_e, p)
+        g_list = _g_entries(z_e, w, p, K)
+        return z_e, w, v_e, h_dyn, h_ic, h_tube, g_list
+
+    def flat_h(h_dyn, h_ic, h_tube):
+        return jnp.concatenate([
+            jnp.stack(h_dyn, axis=-1).reshape(-1),
+            jnp.stack(h_ic, axis=-1),
+            h_tube,
+        ])
+
+    def flat_g(g_list):
+        return jnp.stack(g_list, axis=-1).reshape(-1)
+
+    def pg_norm(u_e, grad_e):
+        gn = 0.0
+        for i in range(b):
+            pg = u_e[i] - jnp.clip(u_e[i] - grad_e[i], lb_e[i], ub_e[i])
+            gn = jnp.maximum(gn, jnp.max(jnp.abs(pg)))
+        return gn
+
+    def inner_step(u_e, lam, mu, rho):
+        merit = _merit_e(sp, u_e, p, lam, mu, rho)
+        grad_e, D_e, L_e = _assemble_e(sp, u_e, p, lam, mu, rho)
+
+        fm = []
+        for i in range(b):
+            at_lb = (u_e[i] <= lb_e[i] + eps_e[i]) & (grad_e[i] > 0.0)
+            at_ub = (u_e[i] >= ub_e[i] - eps_e[i]) & (grad_e[i] < 0.0)
+            fm.append((~(at_lb | at_ub)).astype(jnp.float32))
+        reg = cfg.reg + 1e-6 * rho
+        Dm = [[0.0] * b for _ in range(b)]
+        for i in range(b):
+            for j in range(i + 1):
+                if _is0(D_e[i][j]) and i != j:
+                    Dm[i][j] = jnp.zeros((S,))
+                    continue
+                v = _mul(D_e[i][j], fm[i] * fm[j])
+                if i == j:
+                    v = _add(v, (1.0 - fm[i]) + reg)
+                Dm[i][j] = v if not _is0(v) else jnp.zeros((S,))
+        Lm = [[0.0] * b for _ in range(b)]
+        for i in range(b):
+            for j in range(b):
+                Lm[i][j] = _mul(L_e[i][j], fm[i][1:] * fm[j][:-1])
+        gf = [grad_e[i] * fm[i] for i in range(b)]
+
+        d_e = factor_solve_entries(Dm, Lm, [-g for g in gf], b)
+        d_e = [jnp.where(fm[i] > 0.0, d_e[i], 0.0) for i in range(b)]
+
+        dir_deriv = 0.0
+        for i in range(b):
+            dir_deriv = dir_deriv + jnp.sum(grad_e[i] * d_e[i])
+
+        # parallel Armijo backtracking over all candidate steps at once
+        alphas = cfg.ls_backtrack ** jnp.arange(cfg.ls_iters,
+                                                dtype=jnp.float32)
+        u_try = tuple(
+            jnp.clip(u_e[i][None] + alphas[:, None] * d_e[i][None],
+                     lb_e[i], ub_e[i])
+            for i in range(b))
+        m_trys = _merit_e(sp, u_try, p, lam, mu, rho)        # (ls_iters,)
+        ok = m_trys <= merit + cfg.armijo * alphas * dir_deriv
+        idx = jnp.argmax(ok)
+        any_ok = jnp.any(ok)
+        u_new = tuple(jnp.where(any_ok, u_try[i][idx], u_e[i])
+                      for i in range(b))
+        return u_new, pg_norm(u_e, grad_e)
+
+    def outer_body(carry, _):
+        u_e, lam, mu, rho, prev_viol, converged, outer_used = carry
+
+        def inner_body(carry2, _):
+            u2, frozen = carry2
+            u3, gnorm = inner_step(u2, lam, mu, rho)
+            frozen2 = frozen | (gnorm < cfg.tol_grad * 0.1)
+            u4 = tuple(jnp.where(frozen, u2[i], u3[i]) for i in range(b))
+            return (u4, frozen2), None
+
+        (u_new, _), _ = jax.lax.scan(
+            inner_body, (u_e, jnp.asarray(False)), None,
+            length=cfg.inner_iters)
+        u_new = tuple(jnp.where(converged, u_e[i], u_new[i])
+                      for i in range(b))
+
+        z_e, w, v_e, h_dyn, h_ic, h_tube, g_list = residuals_of(u_new)
+        h = flat_h(h_dyn, h_ic, h_tube)
+        g = flat_g(g_list)
+        viol = jnp.maximum(jnp.max(jnp.abs(h)),
+                           jnp.max(jnp.maximum(-g, 0.0)))
+        lam_new = jnp.where(converged, lam, lam + rho * h)
+        mu_new = jnp.where(converged, mu, jnp.maximum(0.0, mu - rho * g))
+        grow = viol > cfg.viol_reduction * prev_viol
+        rho_new = jnp.where(
+            converged | ~grow, rho,
+            jnp.minimum(rho * cfg.rho_growth, cfg.rho_max))
+        grad_e, _, _ = _assemble_e(sp, u_new, p, lam_new, mu_new, rho,
+                                   grad_rho=0.0)
+        gnorm = pg_norm(u_new, grad_e)
+        r2 = _objective_r2(sp, z_e, w, v_e, p)
+        obj_scale = 1.0 + jnp.sqrt(r2)
+        now_conv = (viol < cfg.tol_feas) & (gnorm < cfg.tol_grad * obj_scale)
+        outer_used = jnp.where(converged, outer_used, outer_used + 1)
+        converged = converged | now_conv
+        return (u_new, lam_new, mu_new, rho_new, viol, converged,
+                outer_used), None
+
+    u_init = tuple(jnp.clip(u0_e[i], lb_e[i], ub_e[i]) for i in range(b))
+    init = (u_init, lam, mu, rho, jnp.asarray(jnp.inf, jnp.float32),
+            jnp.asarray(False), jnp.asarray(0, jnp.int32))
+    (u_e, lam, mu, rho, viol, converged, outer_used), _ = jax.lax.scan(
+        outer_body, init, None, length=cfg.outer_iters)
+
+    z_e, w, v_e, h_dyn, h_ic, h_tube, g_list = residuals_of(u_e)
+    grad_e, _, _ = _assemble_e(sp, u_e, p, lam, mu, rho, grad_rho=0.0)
+    r2 = _objective_r2(sp, z_e, w, v_e, p)
+    x = jnp.stack(u_e, axis=-1).reshape(-1)
+    return ALSolution(
+        x=x, lam=lam, mu=mu, viol=viol,
+        grad_norm=pg_norm(u_e, grad_e), obj=0.5 * r2,
+        rho=rho, converged=converged, outer_used=outer_used,
+    )

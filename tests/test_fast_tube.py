@@ -73,3 +73,53 @@ def test_fast_batched():
     assert out.z.shape == (B, N + 1, 2)
     assert np.all(viol < 1e-4), viol
     assert np.std(np.asarray(out.z[:, 0, 0])) > 0.01
+
+
+@pytest.mark.parametrize("rom_name,tube_kind", [
+    ("SingleInt2D", "l1"), ("DoubleInt2D", "l2"),
+    ("Unicycle", "l1"), ("LateralUnicycle", "l2"),
+])
+def test_scalar_matches_array_path(rom_name, tube_kind):
+    """The scalar-entry ('lane-major') staged solver must track the
+    array-form staged solver on every ROM family / tube kind (same
+    algorithm, different data layout — see solver/staged_scalar.py)."""
+    from legged_gym_dev_tpu.solver.fast_tube import (
+        StagedProblem,
+        pack_staged,
+        solve_tube_fast_single_array,
+        staged_bounds,
+    )
+    from legged_gym_dev_tpu.solver.staged_scalar import solve_staged_scalar
+    from legged_gym_dev_tpu.solver.trajopt import (
+        get_tube_warm_start,
+        get_warm_start,
+    )
+
+    prob = PROBLEM_DICT["gap"]
+    dims = {"SingleInt2D": (2, 2), "DoubleInt2D": (4, 2),
+            "Unicycle": (3, 2), "LateralUnicycle": (3, 3)}
+    n, m = dims[rom_name]
+    pm = make_rom(rom_name, prob["dt"], [-prob["pos_max"]] * n,
+                  [prob["pos_max"]] * n, [-prob["vel_max"]] * m,
+                  [prob["vel_max"]] * m)
+    start = np.zeros(n)
+    start[:2] = np.asarray(prob["start"])[:2]
+    goal = np.zeros(n)
+    goal[:2] = np.asarray(prob["goal"])[:2]
+    p = TrajOptParams.create(pm, N, H_REV, 10 * np.eye(n), 10 * np.eye(m),
+                             start, goal, prob["obs"]["c"], prob["obs"]["r"],
+                             Qw=0.1, w_max=1.0)
+    cfg = ALConfig(outer_iters=10, inner_iters=8)
+    z0, v0 = get_warm_start("interpolate", p, N, cfg)
+    tube_fn = get_tube_dynamics(tube_kind, N, scaling=0.5)
+    w0 = get_tube_warm_start("evaluate", tube_fn, z0, v0, p, N)
+    u0 = pack_staged(z0, w0, v0, n, m, N)
+    lb, ub = staged_bounds(p, n, m, N)
+    sp = StagedProblem(n=n, m=m, N=N, K=2, tube_kind=tube_kind,
+                       scaling=0.5, track_ref=False)
+
+    sol_arr = solve_tube_fast_single_array(sp, p, u0, lb, ub, cfg)
+    sol_sca = solve_staged_scalar(sp, p, u0, lb, ub, cfg)
+    dx = float(jnp.max(jnp.abs(sol_arr.x - sol_sca.x)))
+    assert dx < 2e-3, (rom_name, tube_kind, dx)
+    assert abs(float(sol_arr.viol) - float(sol_sca.viol)) < 1e-3
