@@ -76,6 +76,11 @@ def main():
     r1 = rate(per_device)
     rN = rate(per_device * n_dev, make_mesh(n_dev)) if n_dev > 1 else r1
     eff = rN / (r1 * n_dev)
+    # Mesh-overhead metric: same TOTAL batch, sharded over the mesh vs one
+    # device. On a virtual CPU mesh all "devices" share the host's cores, so
+    # weak scaling vs linear is bounded by the core budget and only this
+    # ratio is meaningful (1.0 = the sharded program adds no overhead).
+    r_full_1dev = rate(per_device * n_dev) if n_dev > 1 else r1
     print(json.dumps({
         "metric": "tube_mpc_scaling_efficiency",
         "n_devices": n_dev,
@@ -83,6 +88,7 @@ def main():
         "solves_per_s_1dev": round(r1, 1),
         "solves_per_s_ndev": round(rN, 1),
         "efficiency_vs_linear": round(eff, 3),
+        "sharded_vs_same_batch_1dev": round(rN / r_full_1dev, 3),
     }))
 
 

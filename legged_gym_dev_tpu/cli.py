@@ -130,9 +130,17 @@ def cmd_collect(args):
                           episode_length_s=args.episode_length_s,
                           epochs=args.epochs)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    np.savez(args.out, z=data.z, v=data.v, pz_x=data.pz_x, done=data.done)
-    print(f"saved {data.z.shape[0]} episodes x {data.v.shape[1]} steps "
-          f"-> {args.out}")
+    if args.shards:
+        from .tube.shards import write_rollout_shards
+
+        paths = write_rollout_shards(args.out, [data], variant=args.variant)
+        print(f"saved {data.z.shape[0]} episodes x {data.v.shape[1]} steps "
+              f"-> {len(paths)} shard(s) under {args.out}")
+    else:
+        np.savez(args.out, z=data.z, v=data.v, pz_x=data.pz_x,
+                 done=data.done)
+        print(f"saved {data.z.shape[0]} episodes x {data.v.shape[1]} steps "
+              f"-> {args.out}")
 
 
 def cmd_train_tube(args):
@@ -147,6 +155,35 @@ def cmd_train_tube(args):
     from .tube.losses import scalar_tube_loss
     from .tube.models import MLP
     from .tube.train import TrainConfig, train_tube
+
+    if os.path.isdir(args.data):
+        # shard directory -> stream through the native C++ loader
+        import glob
+
+        from .tube.shards import make_loader
+        from .tube.train import train_tube_streaming
+
+        paths = sorted(glob.glob(os.path.join(args.data, "*.tdl")))
+        if not paths:
+            raise SystemExit(f"no .tdl shards under {args.data}")
+        loader = make_loader(paths, N=args.window, dN=1)
+        model = MLP.create(jax.random.PRNGKey(args.seed), loader.input_dim,
+                           loader.target_dim, num_units=128, num_layers=2)
+        res = train_tube_streaming(
+            loader, model,
+            lambda fw, w, d: scalar_tube_loss(fw, w, d, alpha=args.alpha),
+            TrainConfig(epochs=args.epochs, batch_size=1024),
+        )
+        final = [h for h in res.history if "coverage" in h][-1]
+        print(json.dumps({"final": final, "streaming": True,
+                          "loader": type(loader).__name__}))
+        if args.out:
+            import pickle
+
+            with open(args.out, "wb") as f:
+                pickle.dump(jax.tree.map(np.asarray, res.best_model), f)
+            print(f"saved tube model -> {args.out}")
+        return
 
     raw = np.load(args.data)
     data = RolloutData(z=raw["z"], v=raw["v"], pz_x=raw["pz_x"],
@@ -309,6 +346,11 @@ def build_parser():
     c.add_argument("--epochs", type=int, default=4)
     c.add_argument("--episode-length-s", type=float, default=8.0)
     c.add_argument("--out", default="data/rollouts.npz")
+    c.add_argument("--shards", action="store_true",
+                   help="write binary .tdl shards (native loader) instead "
+                        "of .npz; --out is then a directory")
+    c.add_argument("--variant", default="scalar",
+                   choices=["scalar", "scalar_recursive", "vector", "error"])
     c.set_defaults(fn=cmd_collect)
 
     tt = sub.add_parser("train-tube")

@@ -118,6 +118,75 @@ def train_tube(
     return TrainResult(model=model, best_model=best_model, history=history)
 
 
+def train_tube_streaming(
+    loader,
+    model: MLP,
+    loss_fn: Callable,
+    cfg: TrainConfig = TrainConfig(),
+    n_threads: int = 2,
+) -> TrainResult:
+    """Train from a streaming shard loader (tube.shards.NativeTubeLoader /
+    NumpyTubeLoader) instead of an in-memory TubeDataset.
+
+    The native loader's worker threads assemble the next shuffled batches
+    while the jitted step runs, so datasets larger than host memory stream
+    at full device rate. Eval uses the first batches of a held-out-seed
+    epoch (the loader streams; there is no materialized split).
+    """
+    tx = optax.adam(cfg.learning_rate)
+    if cfg.grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    opt_state = tx.init(model)
+
+    @jax.jit
+    def step(model, opt_state, xb, yb):
+        def batch_loss(m):
+            return loss_fn(m(xb), yb, xb)
+
+        loss, grads = jax.value_and_grad(batch_loss)(model)
+        gnorm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, opt_state, model)
+        return optax.apply_updates(model, updates), opt_state, loss, gnorm
+
+    @jax.jit
+    def predict(model, xb):
+        return model(xb)
+
+    def evaluate():
+        it = loader.epoch(seed=cfg.seed + 10_000, batch=4096,
+                          n_threads=n_threads, shuffle=True)
+        xb, yb = next(iter(it))
+        fw = np.asarray(predict(model, jnp.asarray(xb)))
+        return {
+            "coverage": coverage(fw, yb),
+            "eval_mean_err": float(np.mean(np.abs(fw - yb))),
+        }
+
+    history: List[Dict] = []
+    best_model, best_loss = model, float("inf")
+    for epoch in range(cfg.epochs):
+        losses, gnorms = [], []
+        for xb, yb in loader.epoch(seed=cfg.seed + epoch,
+                                   batch=cfg.batch_size,
+                                   n_threads=n_threads, shuffle=True):
+            if xb.shape[0] < cfg.batch_size:
+                continue  # drop ragged tail (keeps the jit cache to 1 entry)
+            model, opt_state, loss, gnorm = step(
+                model, opt_state, jnp.asarray(xb), jnp.asarray(yb)
+            )
+            losses.append(float(loss))
+            gnorms.append(float(gnorm))
+        rec = {"epoch": epoch,
+               "loss": float(np.mean(losses)) if losses else float("nan"),
+               "grad_norm": float(np.mean(gnorms)) if gnorms else 0.0}
+        if (epoch + 1) % cfg.eval_every == 0 or epoch == cfg.epochs - 1:
+            rec.update(evaluate())
+            if rec["loss"] <= best_loss:
+                best_loss, best_model = rec["loss"], model
+        history.append(rec)
+    return TrainResult(model=model, best_model=best_model, history=history)
+
+
 def evaluate_rollout_recursive(model: MLP, w0, z_rest, v, H_rev: int):
     """Recursively roll a one-step tube model along a trajectory
     (ref: evaluation/evaluate_tube_simple.py:55-146 pattern): feed the
