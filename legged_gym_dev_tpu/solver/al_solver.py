@@ -53,6 +53,13 @@ class ALConfig:
     reg: float = struct.field(pytree_node=False, default=1e-7)
     ls_backtrack: float = struct.field(pytree_node=False, default=0.5)
     armijo: float = struct.field(pytree_node=False, default=1e-4)
+    # Stage-structured linear solve (staged_scalar.py only):
+    # "thomas" = block-Thomas scan — fewer FLOPs, 2(S-1) sequential steps;
+    # "cr" = block cyclic reduction — one fused scan-free graph, ~2-3x the
+    # FLOPs; "auto" picks by horizon. Measured (docs/PERF.md): thomas wins
+    # at N=50 (8.9k vs 8.2k solves/s, B=4096), cr wins 1.3-1.35x at N=200
+    # where the scan's sequential depth dominates.
+    linsolve: str = struct.field(pytree_node=False, default="auto")
 
 
 class ALSolution(NamedTuple):

@@ -521,6 +521,176 @@ def factor_solve_entries(D_e, L_e, rhs_e, b, unroll=2):
 
 
 # ---------------------------------------------------------------------------
+# entry-form block cyclic reduction (scan-free factor+solve)
+# ---------------------------------------------------------------------------
+#
+# Block-Thomas above runs 2(S-1) sequential lax.scan steps per solve; at
+# B=4096 each fused step is tiny, so the factor is dominated by per-step
+# sequencing overhead (~150 ms of a 520 ms solve, docs/PERF.md). Cyclic
+# reduction eliminates the odd-indexed stages level by level —
+# ceil(log2(S)) fully-parallel levels, each a few elementwise ops over a
+# halved stage axis — so the whole factor+solve is ONE fused graph with no
+# scan at all, at ~2-3x the FLOPs (a good trade: the op was
+# sequencing-bound, not FLOP-bound). Stable for the SPD systems the
+# freeze-masked GN assemble produces. Replaces IPOPT+MUMPS' sparse
+# factorization (ref: trajopt/tube_trajopt.py:256-277) together with the
+# Thomas path; parity asserted in tests/test_fast_tube.py.
+
+
+# "auto" linsolve switches to cyclic reduction at this stage count.
+# Measured crossover (docs/PERF.md): thomas wins at N<=100 small-batch,
+# parity ~N=100 at B=4096, cr wins 1.09x at N=150 and 1.35x at N=200.
+_CR_AUTO_MIN_S = 128
+
+
+def _slc(x, sl):
+    return 0.0 if _is0(x) else x[..., sl]
+
+
+def _pad_last(x, front, back):
+    if _is0(x) or (front == 0 and back == 0):
+        return x
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(front, back)])
+
+
+def _solve_cols_e(c, M, b):
+    """B^{-1} M for full entry matrix M (columns solved independently)."""
+    R = [[None] * b for _ in range(b)]
+    for j in range(b):
+        col = _chol_solve_e(c, [M[l][j] for l in range(b)], b)
+        for l in range(b):
+            R[l][j] = col[l]
+    return R
+
+
+def _matmul_e(A, B, b):
+    C = [[0.0] * b for _ in range(b)]
+    for i in range(b):
+        for j in range(b):
+            acc = 0.0
+            for l in range(b):
+                acc = _add(acc, _mul(A[i][l], B[l][j]))
+            C[i][j] = acc
+    return C
+
+
+def _matvec_e(A, x, b):
+    out = []
+    for i in range(b):
+        acc = 0.0
+        for l in range(b):
+            acc = _add(acc, _mul(A[i][l], x[l]))
+        out.append(acc)
+    return out
+
+
+def _transpose_e(A, b):
+    return [[A[j][i] for j in range(b)] for i in range(b)]
+
+
+def _lower_of(M, b):
+    return [[M[i][j] for j in range(i + 1)] for i in range(b)]
+
+
+def _full_of_lower(Ml, b):
+    return [[Ml[i][j] if i >= j else Ml[j][i] for j in range(b)]
+            for i in range(b)]
+
+
+def cr_solve_entries(D_e, L_e, rhs_e, b):
+    """Solve the symmetric block-tridiagonal system by cyclic reduction.
+
+    Same interface/semantics as ``factor_solve_entries``: ``D_e`` is the
+    b x b lower-entry lists of (..., S) diagonal blocks, ``L_e[i][j]`` entry
+    (i, j) of the subdiagonal block A_{k+1} coupling stage k+1 to stage k
+    ((..., S-1) or symbolic 0.0), ``rhs_e`` list b of (..., S). Returns the
+    solution as a list b of (..., S).
+    """
+    S = rhs_e[0].shape[-1]
+    if S == 1:
+        c = _chol_e([[D_e[i][j] for j in range(i + 1)] for i in range(b)], b)
+        x = _chol_solve_e(c, list(rhs_e), b)
+        return [jnp.zeros_like(rhs_e[0]) if _is0(v) else v for v in x]
+
+    S_o, S_e = S // 2, (S + 1) // 2     # odd-stage / even-stage counts
+    n_lo = (S - 1) // 2                 # number of L_odd blocks
+
+    B_ol = [[_slc(D_e[i][j], slice(1, None, 2)) for j in range(i + 1)]
+            for i in range(b)]
+    B_el = [[_slc(D_e[i][j], slice(0, None, 2)) for j in range(i + 1)]
+            for i in range(b)]
+    # A_{2j+1} (odd row 2j+1 <- even col 2j) and A_{2j+2} (even <- odd)
+    A_ev = [[_slc(L_e[i][j], slice(0, None, 2)) for j in range(b)]
+            for i in range(b)]
+    A_od = [[_slc(L_e[i][j], slice(1, None, 2)) for j in range(b)]
+            for i in range(b)]
+    r_o = [_slc(r, slice(1, None, 2)) for r in rhs_e]
+    r_ev = [_slc(r, slice(0, None, 2)) for r in rhs_e]
+
+    c_o = _chol_e(B_ol, b)
+    V = _solve_cols_e(c_o, A_ev, b)                 # B_o^{-1} A_{2j+1}
+    y = _chol_solve_e(c_o, r_o, b)                  # B_o^{-1} r_odd
+    y = [jnp.zeros_like(r_o[0]) if _is0(v) else v for v in y]
+
+    c_ot = [[_slc(c_o[i][j], slice(0, n_lo)) for j in range(i + 1)]
+            for i in range(b)]
+    A_odT = _transpose_e(A_od, b)
+    U = _solve_cols_e(c_ot, A_odT, b)               # B_o^{-1} A_{2j+2}^T
+
+    # Schur terms onto the even stages
+    T_r = _matmul_e(_transpose_e(A_ev, b), V, b)    # A^T B^{-1} A  at i=j
+    A_odt = [[_slc(A_od[i][j], slice(0, n_lo)) for j in range(b)]
+             for i in range(b)]
+    T_l = _matmul_e(A_odt, U, b)                    # A B^{-1} A^T at i=j+1
+    V_t = [[_slc(V[i][j], slice(0, n_lo)) for j in range(b)]
+           for i in range(b)]
+    A_new = _matmul_e(A_odt, V_t, b)                # couples even i, i-1
+    A_new = [[0.0 if _is0(A_new[i][j]) else -A_new[i][j] for j in range(b)]
+             for i in range(b)]
+
+    D_new = [[None] * (i + 1) for i in range(b)]
+    for i in range(b):
+        for j in range(i + 1):
+            acc = B_el[i][j]
+            acc = _sub(acc, _pad_last(T_r[i][j], 0, S_e - S_o))
+            acc = _sub(acc, _pad_last(T_l[i][j], 1, S_e - 1 - n_lo))
+            D_new[i][j] = (jnp.zeros_like(r_ev[0]) if _is0(acc)
+                           else jnp.broadcast_to(acc, r_ev[0].shape))
+
+    t1 = _matvec_e(A_odt, [_slc(v, slice(0, n_lo)) for v in y], b)
+    t2 = _matvec_e(_transpose_e(A_ev, b), y, b)
+    r_new = []
+    for i in range(b):
+        acc = r_ev[i]
+        acc = _sub(acc, _pad_last(t1[i], 1, S_e - 1 - n_lo))
+        acc = _sub(acc, _pad_last(t2[i], 0, S_e - S_o))
+        r_new.append(jnp.broadcast_to(acc, r_ev[0].shape))
+
+    x_even = cr_solve_entries(D_new, A_new, r_new, b)
+
+    # back-substitute the odd stages
+    xe_a = [x[..., :S_o] for x in x_even]
+    xe_b = [_pad_last(x[..., 1:1 + n_lo], 0, S_o - n_lo) for x in x_even]
+    corr_a = _matvec_e(V, xe_a, b)
+    U_p = [[_pad_last(U[i][j], 0, S_o - n_lo) for j in range(b)]
+           for i in range(b)]
+    corr_b = _matvec_e(U_p, xe_b, b)
+    x_odd = [jnp.broadcast_to(_sub(_sub(y[i], corr_a[i]), corr_b[i]),
+                              r_o[0].shape)
+             for i in range(b)]
+
+    # interleave even/odd back to stage order
+    out = []
+    for i in range(b):
+        pair = jnp.stack([x_even[i][..., :S_o], x_odd[i]], axis=-1)
+        flat = pair.reshape(pair.shape[:-2] + (2 * S_o,))
+        if S_e > S_o:
+            flat = jnp.concatenate([flat, x_even[i][..., -1:]], axis=-1)
+        out.append(flat)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # AL loop in entry form
 # ---------------------------------------------------------------------------
 
@@ -595,7 +765,15 @@ def solve_staged_scalar(sp, p, u0, lb_u, ub_u, cfg: ALConfig = ALConfig(),
                 Lm[i][j] = _mul(L_e[i][j], fm[i][1:] * fm[j][:-1])
         gf = [grad_e[i] * fm[i] for i in range(b)]
 
-        d_e = factor_solve_entries(Dm, Lm, [-g for g in gf], b)
+        linsolve = cfg.linsolve
+        if linsolve == "auto":
+            # measured crossover between N=50 (thomas) and N=200 (cr);
+            # see docs/PERF.md "Cyclic reduction vs block-Thomas"
+            linsolve = "cr" if S >= _CR_AUTO_MIN_S else "thomas"
+        if linsolve == "cr":
+            d_e = cr_solve_entries(Dm, Lm, [-g for g in gf], b)
+        else:
+            d_e = factor_solve_entries(Dm, Lm, [-g for g in gf], b)
         d_e = [jnp.where(fm[i] > 0.0, d_e[i], 0.0) for i in range(b)]
 
         dir_deriv = 0.0

@@ -1,9 +1,13 @@
 """Sweep the AL-GN iteration schedule at bench shapes; report throughput,
 feasibility, and outer_used distribution, plus solution drift vs the
 default schedule (accuracy guard: drift must stay <<1e-3)."""
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from legged_gym_dev_tpu.utils.runtime import setup_tpu_runtime
 
@@ -60,7 +64,10 @@ print(f"default 20x10x10: {ref_rate:7.1f} solves/s  feas={ref_feas.mean():.4f} "
       f"p99={np.percentile(ou,99):.0f} max={ou.max()}")
 
 for (o, i, ls) in [(14, 10, 10), (12, 10, 10), (12, 8, 10), (14, 8, 8),
-                   (12, 8, 8), (10, 8, 8), (12, 6, 8), (10, 6, 8)]:
+                   (12, 8, 8), (10, 8, 8), (12, 6, 8), (10, 6, 8),
+                   # keep outers (feasibility needs them), trim inners/ls
+                   (20, 8, 10), (20, 8, 8), (20, 6, 8), (24, 6, 8),
+                   (20, 5, 8), (24, 5, 8), (28, 4, 8)]:
     cfg = ALConfig(outer_iters=o, inner_iters=i, ls_iters=ls)
     out, rate = run(cfg)
     feas = np.asarray(out.sol.viol) < 1e-3

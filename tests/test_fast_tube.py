@@ -123,3 +123,47 @@ def test_scalar_matches_array_path(rom_name, tube_kind):
     dx = float(jnp.max(jnp.abs(sol_arr.x - sol_sca.x)))
     assert dx < 2e-3, (rom_name, tube_kind, dx)
     assert abs(float(sol_arr.viol) - float(sol_sca.viol)) < 1e-3
+
+
+@pytest.mark.parametrize("S,b", [(1, 3), (2, 3), (7, 4), (21, 5), (51, 5)])
+def test_cyclic_reduction_matches_thomas(S, b):
+    """cr_solve_entries (scan-free cyclic reduction) must solve the same
+    SPD block-tridiagonal systems as the block-Thomas scan, including
+    odd/even stage counts and symbolic-zero off-diagonal entries."""
+    from legged_gym_dev_tpu.solver.staged_scalar import (
+        cr_solve_entries,
+        factor_solve_entries,
+    )
+
+    rng = np.random.default_rng(S * 100 + b)
+    # random SPD diagonal blocks (as lower-entry lists) + random subdiag
+    D_e = [[None] * (i + 1) for i in range(b)]
+    A = rng.normal(size=(S, b, b)).astype(np.float32)
+    Dfull = A @ np.swapaxes(A, -1, -2) + 5.0 * b * np.eye(b, dtype=np.float32)
+    for i in range(b):
+        for j in range(i + 1):
+            D_e[i][j] = jnp.asarray(Dfull[:, i, j])
+    Lfull = 0.3 * rng.normal(size=(max(S - 1, 0), b, b)).astype(np.float32)
+    if S > 1:
+        Lfull[:, 0, :] = 0.0  # exercise symbolic-zero entries
+    L_e = [[(0.0 if (S == 1 or i == 0)
+             else jnp.asarray(Lfull[:, i, j])) for j in range(b)]
+           for i in range(b)]
+    rhs = rng.normal(size=(S, b)).astype(np.float32)
+    rhs_e = [jnp.asarray(rhs[:, i]) for i in range(b)]
+
+    x_cr = cr_solve_entries(D_e, L_e, rhs_e, b)
+    x_th = factor_solve_entries(D_e, L_e, rhs_e, b)
+    x_cr = np.stack([np.asarray(x) for x in x_cr], -1)
+    x_th = np.stack([np.asarray(x) for x in x_th], -1)
+    assert np.abs(x_cr - x_th).max() < 1e-4, np.abs(x_cr - x_th).max()
+
+    # and against a dense solve of the assembled system
+    K = np.zeros((S * b, S * b), dtype=np.float64)
+    for k in range(S):
+        K[k * b:(k + 1) * b, k * b:(k + 1) * b] = Dfull[k]
+    for k in range(S - 1):
+        K[(k + 1) * b:(k + 2) * b, k * b:(k + 1) * b] = Lfull[k]
+        K[k * b:(k + 1) * b, (k + 1) * b:(k + 2) * b] = Lfull[k].T
+    x_ref = np.linalg.solve(K, rhs.reshape(-1)).reshape(S, b)
+    assert np.abs(x_cr - x_ref).max() < 1e-3, np.abs(x_cr - x_ref).max()
