@@ -84,3 +84,48 @@ def gaussian_kl(mean_a, log_std_a, mean_b, log_std_b):
         + (var_a + (mean_a - mean_b) ** 2) / (2.0 * var_b) - 0.5,
         axis=-1,
     )
+
+
+class ActorCriticRecurrent(nn.Module):
+    """LSTM-backed actor-critic (rsl_rl ``ActorCriticRecurrent`` parity).
+
+    The reference's recurrent policy (external rsl_rl v1.0.2, selected by
+    ``policy.rnn_type``/``rnn_hidden_size`` in the train cfg; see
+    task_registry.py:148) runs one shared LSTM over the observation stream
+    and feeds its hidden state to the actor/critic MLPs. Functional here:
+    the cell carry is explicit, threaded by the rollout scan, and reset to
+    zeros where an episode ends (``mask_carry``).
+    """
+
+    num_actions: int
+    rnn_hidden_size: int = 256
+    actor_hidden_dims: Sequence[int] = (256, 128)
+    critic_hidden_dims: Sequence[int] = (256, 128)
+    activation: str = "elu"
+    init_noise_std: float = 1.0
+
+    @nn.compact
+    def __call__(self, obs, carry):
+        """obs (B, O), carry ((B, H), (B, H)) -> mean, log_std, value, carry."""
+        cell = nn.OptimizedLSTMCell(self.rnn_hidden_size, name="lstm")
+        carry, hidden = cell(carry, obs)
+        mean = MLPBody(self.actor_hidden_dims, self.num_actions,
+                       self.activation, name="actor")(hidden)
+        value = MLPBody(self.critic_hidden_dims, 1, self.activation,
+                        name="critic")(hidden)[..., 0]
+        log_std = self.param(
+            "log_std",
+            lambda k, s: jnp.full(s, jnp.log(self.init_noise_std)),
+            (self.num_actions,),
+        )
+        return mean, log_std, value, carry
+
+    def initial_carry(self, batch: int):
+        h = jnp.zeros((batch, self.rnn_hidden_size))
+        return (h, h)
+
+    @staticmethod
+    def mask_carry(carry, done):
+        """Zero the (c, h) state of envs whose episode just ended."""
+        keep = (1.0 - done.astype(jnp.float32))[:, None]
+        return tuple(x * keep for x in carry)

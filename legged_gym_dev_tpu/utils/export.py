@@ -60,3 +60,112 @@ def export_policy_savedmodel(policy: Callable, obs_dim: int, path: str,
     module.f = f_tf
     tf.saved_model.save(module, path)
     return path
+
+
+def export_policy_torchscript(params, path: str,
+                              activation: str = "elu") -> str:
+    """Export a flax ActorCritic's actor as a TorchScript module.
+
+    Direct counterpart of the reference's ``export_policy_as_jit``
+    (ref: legged_gym/utils/helpers.py:274-286): deployment stacks that
+    consume TorchScript keep working against policies trained here. The
+    flax Dense kernels are (in, out); torch Linear weights are (out, in),
+    so kernels are transposed. Parity vs the JAX forward is asserted in
+    tests/test_export.py.
+    """
+    import torch
+
+    actor = params["params"]["actor"]
+    layers = []
+    n_dense = len([k for k in actor if k.startswith("Dense_")])
+    acts = {"elu": torch.nn.ELU, "relu": torch.nn.ReLU,
+            "tanh": torch.nn.Tanh, "selu": torch.nn.SELU}
+    for i in range(n_dense):
+        d = actor[f"Dense_{i}"]
+        w = np.asarray(d["kernel"], np.float32)
+        lin = torch.nn.Linear(w.shape[0], w.shape[1])
+        with torch.no_grad():
+            lin.weight.copy_(torch.from_numpy(w.T))
+            lin.bias.copy_(torch.from_numpy(np.asarray(d["bias"],
+                                                       np.float32)))
+        layers.append(lin)
+        if i < n_dense - 1:
+            layers.append(acts[activation]())
+    module = torch.nn.Sequential(*layers).eval()
+    scripted = torch.jit.script(module)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    scripted.save(path)
+    return path
+
+
+def export_policy_lstm_torchscript(params, path: str,
+                                   activation: str = "elu") -> str:
+    """Export a flax ActorCriticRecurrent actor as a STATEFUL TorchScript
+    module: hidden/cell states are registered buffers advanced by
+    ``forward`` and cleared by the exported ``reset_memory`` method —
+    exact counterpart of the reference's ``PolicyExporterLSTM``
+    (ref: legged_gym/utils/helpers.py:287-313).
+
+    flax ``OptimizedLSTMCell`` keeps per-gate kernels (input kernels
+    bias-free, hidden kernels biased); torch ``LSTMCell`` stacks gates
+    [i, f, g, o] row-wise — same equations, so weights map exactly
+    (parity asserted in tests/test_export.py).
+    """
+    import torch
+
+    lstm_p = params["params"]["lstm"]
+    actor = params["params"]["actor"]
+    in_dim = np.asarray(lstm_p["ii"]["kernel"]).shape[0]
+    hidden = np.asarray(lstm_p["hi"]["kernel"]).shape[0]
+
+    def stack_gates(prefix):
+        # torch gate order: i, f, g, o
+        return np.concatenate(
+            [np.asarray(lstm_p[prefix + g]["kernel"], np.float32).T
+             for g in ("i", "f", "g", "o")], axis=0)
+
+    class PolicyExporterLSTM(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.cell = torch.nn.LSTMCell(in_dim, hidden)
+            with torch.no_grad():
+                self.cell.weight_ih.copy_(torch.from_numpy(stack_gates("i")))
+                self.cell.weight_hh.copy_(torch.from_numpy(stack_gates("h")))
+                self.cell.bias_ih.zero_()
+                self.cell.bias_hh.copy_(torch.from_numpy(np.concatenate(
+                    [np.asarray(lstm_p["h" + g]["bias"], np.float32)
+                     for g in ("i", "f", "g", "o")])))
+            layers = []
+            n_dense = len([k for k in actor if k.startswith("Dense_")])
+            acts = {"elu": torch.nn.ELU, "relu": torch.nn.ReLU,
+                    "tanh": torch.nn.Tanh, "selu": torch.nn.SELU}
+            for i in range(n_dense):
+                d = actor[f"Dense_{i}"]
+                w = np.asarray(d["kernel"], np.float32)
+                lin = torch.nn.Linear(w.shape[0], w.shape[1])
+                with torch.no_grad():
+                    lin.weight.copy_(torch.from_numpy(w.T))
+                    lin.bias.copy_(torch.from_numpy(
+                        np.asarray(d["bias"], np.float32)))
+                layers.append(lin)
+                if i < n_dense - 1:
+                    layers.append(acts[activation]())
+            self.actor = torch.nn.Sequential(*layers)
+            self.register_buffer("hidden_state", torch.zeros(1, hidden))
+            self.register_buffer("cell_state", torch.zeros(1, hidden))
+
+        def forward(self, x):
+            h, c = self.cell(x, (self.hidden_state, self.cell_state))
+            self.hidden_state[:] = h
+            self.cell_state[:] = c
+            return self.actor(h)
+
+        @torch.jit.export
+        def reset_memory(self):
+            self.hidden_state[:] = 0.0
+            self.cell_state[:] = 0.0
+
+    scripted = torch.jit.script(PolicyExporterLSTM().eval())
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    scripted.save(path)
+    return path
