@@ -62,11 +62,33 @@ class OnPolicyRunner:
         self.cfg = cfg
         self.model = model or ActorCritic(num_actions=env.num_actions)
         key = jax.random.PRNGKey(seed)
-        self.train_state = init_train_state(
-            self.model, env.num_obs, cfg, key
-        )
+        self.recurrent = hasattr(self.model, "initial_carry")
         self.env_state, _ = env.reset(jax.random.fold_in(key, 1))
-        self._learn = make_learn_iteration(env, self.model, cfg)
+        if self.recurrent:
+            from .ppo_recurrent import (
+                init_train_state_recurrent,
+                make_learn_iteration_recurrent,
+            )
+
+            self.train_state = init_train_state_recurrent(
+                self.model, env.num_obs, cfg, key
+            )
+            self.carry = self.model.initial_carry(env.num_envs)
+            rec_learn = make_learn_iteration_recurrent(env, self.model, cfg)
+
+            def _learn(train_state, env_state):
+                train_state, env_state, self.carry, metrics = rec_learn(
+                    train_state, env_state, self.carry
+                )
+                return train_state, env_state, metrics
+
+            self._learn = _learn
+        else:
+            self.train_state = init_train_state(
+                self.model, env.num_obs, cfg, key
+            )
+            self.carry = None
+            self._learn = make_learn_iteration(env, self.model, cfg)
         self.log_dir = log_dir
         self.ckpt = CheckpointManager(log_dir) if log_dir else None
         self.metrics_callback = metrics_callback
@@ -74,42 +96,89 @@ class OnPolicyRunner:
         self.it = 0
 
     def learn(self, num_iterations: int, save_interval: int = 50,
-              curriculum_stage_fn: Optional[Callable[[int], int]] = None):
+              curriculum_stage_fn: Optional[Callable[[int], int]] = None,
+              log_interval: int = 1):
+        """Iterate learn steps; flush metrics every ``log_interval`` iters.
+
+        Iterations chain device-resident state, so they pipeline without
+        host round-trips; a synchronous metric fetch EVERY iteration
+        de-pipelines the remote-TPU backend catastrophically (measured
+        5.4 s vs 65 ms per iteration at 4096 envs, docs/PERF.md). Metrics
+        are buffered as device arrays and converted in windows; pass
+        log_interval=1 (default) for local/debug use, 10+ on the remote
+        backend.
+        """
         metrics_path = (os.path.join(self.log_dir, "metrics.jsonl")
                         if self.log_dir else None)
+        pending = []          # (it, device-metrics) awaiting conversion
+        t_window = time.perf_counter()
+
+        def flush():
+            nonlocal t_window
+            if not pending:
+                return
+            dt = (time.perf_counter() - t_window) / len(pending)
+            steps = self.cfg.num_steps * self.env.num_envs
+            for it, dev_m in pending:
+                m = jax.tree.map(lambda x: float(np.asarray(x)), dev_m)
+                m["it"] = it
+                m["iter_time_s"] = dt
+                m["steps_per_s"] = steps / dt
+                self.history.append(m)
+                if self.metrics_callback:
+                    self.metrics_callback(m)
+                if metrics_path:
+                    with open(metrics_path, "a") as f:
+                        f.write(json.dumps(m) + "\n")
+            pending.clear()
+            t_window = time.perf_counter()
+
         for _ in range(num_iterations):
-            t0 = time.perf_counter()
             self.train_state, self.env_state, metrics = self._learn(
                 self.train_state, self.env_state
             )
-            metrics = jax.tree.map(lambda x: float(np.asarray(x)), metrics)
-            metrics["it"] = self.it
-            metrics["iter_time_s"] = time.perf_counter() - t0
-            metrics["steps_per_s"] = (
-                self.cfg.num_steps * self.env.num_envs
-                / metrics["iter_time_s"]
-            )
-            self.history.append(metrics)
-            if self.metrics_callback:
-                self.metrics_callback(metrics)
-            if metrics_path:
-                with open(metrics_path, "a") as f:
-                    f.write(json.dumps(metrics) + "\n")
-            if self.ckpt and (self.it % save_interval == 0
-                              or self.it == num_iterations - 1):
+            pending.append((self.it, metrics))
+            last = self.it == num_iterations - 1
+            if len(pending) >= log_interval or last:
+                flush()
+            if self.ckpt and (self.it % save_interval == 0 or last):
                 stage = (curriculum_stage_fn(self.it)
                          if curriculum_stage_fn else 0)
                 self.ckpt.save(
                     self.train_state.params, self.it,
-                    metrics.get("mean_reward", 0.0), stage,
+                    self.history[-1].get("mean_reward", 0.0)
+                    if self.history else 0.0, stage,
                 )
             self.it += 1
+        flush()
         return self.history
 
     def get_inference_policy(self):
-        """Deterministic policy fn (rsl_rl get_inference_policy parity)."""
+        """Deterministic policy fn (rsl_rl get_inference_policy parity).
+
+        For a recurrent model the returned closure carries the LSTM state
+        across calls (rsl_rl's recurrent policy also holds its hidden
+        state internally); call ``policy.reset()`` at episode boundaries.
+        """
         params = self.train_state.params
         model = self.model
+
+        if self.recurrent:
+            @jax.jit
+            def step(obs, carry):
+                mean, _, _, carry = model.apply(params, obs, carry)
+                return mean, carry
+
+            state = {"carry": None}
+
+            def policy(obs):
+                if state["carry"] is None:
+                    state["carry"] = model.initial_carry(obs.shape[0])
+                mean, state["carry"] = step(obs, state["carry"])
+                return mean
+
+            policy.reset = lambda: state.update(carry=None)
+            return policy
 
         @jax.jit
         def policy(obs):

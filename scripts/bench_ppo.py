@@ -46,7 +46,18 @@ def main():
     ts, env_state, metrics = learn(ts, env_state)
     np.asarray(metrics["mean_reward"])
     print(f"compile+first iter: {time.perf_counter() - t0:.1f}s")
+    # One-time remote-backend warmup (~27s executable finalization on the
+    # first chained burst — measured constant across 10/20-iter loops);
+    # burn it here so the timed loop sees the steady state.
+    t0 = time.perf_counter()
+    for _ in range(3):
+        ts, env_state, metrics = learn(ts, env_state)
+    np.asarray(metrics["mean_reward"])
+    print(f"warmup burst: {time.perf_counter() - t0:.1f}s")
 
+    # Chained iterations pipeline on-device; metrics are fetched once at
+    # the end (a per-iteration synchronous fetch de-pipelines the remote
+    # backend ~80x — docs/PERF.md "Metric-fetch pitfall").
     t0 = time.perf_counter()
     for _ in range(iters):
         ts, env_state, metrics = learn(ts, env_state)

@@ -86,3 +86,30 @@ def test_recurrent_ppo_improves_reward():
     r1 = np.mean(rewards[-5:])
     assert np.isfinite(rewards).all()
     assert r1 > r0 + 0.03, (r0, r1)
+
+
+def test_runner_supports_recurrent_model(tmp_path):
+    from legged_gym_dev_tpu.rl import OnPolicyRunner
+
+    env = make_env(16)
+    runner = OnPolicyRunner(
+        env,
+        model=ActorCriticRecurrent(num_actions=2, rnn_hidden_size=16,
+                                   actor_hidden_dims=(16,),
+                                   critic_hidden_dims=(16,)),
+        cfg=PPOConfig(num_steps=4, num_mini_batches=2,
+                      num_learning_epochs=1),
+        log_dir=str(tmp_path), seed=0,
+    )
+    hist = runner.learn(3, save_interval=1)
+    assert len(hist) == 3 and np.isfinite(hist[-1]["loss"])
+    runner.load("latest")
+    policy = runner.get_inference_policy()
+    a1 = np.asarray(policy(jnp.ones((4, env.num_obs))))
+    a2 = np.asarray(policy(jnp.ones((4, env.num_obs))))
+    assert a1.shape == (4, 2)
+    # hidden state advances between calls; reset restores the first output
+    assert np.abs(a1 - a2).max() > 1e-7
+    policy.reset()
+    a3 = np.asarray(policy(jnp.ones((4, env.num_obs))))
+    np.testing.assert_allclose(a3, a1, atol=1e-6)
