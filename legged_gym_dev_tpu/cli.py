@@ -80,14 +80,22 @@ def cmd_play(args):
 
     from . import envs  # noqa: F401
     from .envs import task_registry
-    from .utils.export import export_policy_savedmodel, export_policy_stablehlo
+    from .utils.export import (
+        export_policy_onnx,
+        export_policy_savedmodel,
+        export_policy_stablehlo,
+        export_policy_torchscript,
+    )
     from .utils.logger import Logger
 
     env = task_registry.make_env(args.task, num_envs=args.num_envs,
                                  add_noise=False)
+    # play always resumes a trained policy (ref scripts/play.py:57 sets
+    # RESUME=True); --load overrides the run dir, else the most recent
+    # run under <log_root>/<task> is used.
     runner = task_registry.make_alg_runner(
         env, args.task, log_root=args.log_root, seed=0,
-        resume=bool(args.load), load_run=args.checkpoint,
+        resume=True, load_run=args.checkpoint,
         load_dir=args.load,
     )
     policy = runner.get_inference_policy()
@@ -99,6 +107,15 @@ def cmd_play(args):
         p2 = export_policy_savedmodel(policy, env.num_obs,
                                       os.path.join(args.export, "savedmodel"))
         print(f"exported SavedModel: {p2}")
+        if not runner.recurrent:
+            p3 = export_policy_torchscript(
+                runner.train_state.params,
+                os.path.join(args.export, "policy.pt"))
+            print(f"exported TorchScript: {p3}")
+            p4 = export_policy_onnx(
+                runner.train_state.params, env.num_obs,
+                os.path.join(args.export, "policy.onnx"))
+            print(f"exported ONNX: {p4}")
 
     logger = Logger(dt=env.dt)
     state, obs = env.reset(jax.random.PRNGKey(0))

@@ -137,8 +137,15 @@ def make_hopper_trajectory_env(
 
 
 def make_rom_tracking_env(num_envs: int = 4096, episode_length_s: float = 8.0,
-                          rom_dt: float = 0.1, dt_loop: float = 0.05):
-    """Double integrator tracking a SingleInt2D ROM (CustomSim analog)."""
+                          rom_dt: float = 0.1, dt_loop: float = 0.05,
+                          add_noise: bool = False):
+    """Double integrator tracking a SingleInt2D ROM (CustomSim analog).
+
+    ``add_noise`` is accepted for factory-interface uniformity (play passes
+    it to every task) and ignored: like the reference's CustomSim
+    (ref deep_tube_learning/custom_sim.py:5-103) this env has no obs noise.
+    """
+    del add_noise
     rom = SingleInt2D.create(rom_dt, [-10, -10], [10, 10], [-1, -1], [1, 1])
     model = DoubleInt2D.create(
         dt_loop, [-20, -20, -2, -2], [20, 20, 2, 2], [-4, -4], [4, 4]

@@ -61,25 +61,36 @@ class TaskRegistry:
         entry = self.get(name)
         stamp = datetime.now().strftime("%b%d_%H-%M-%S")
         log_dir = os.path.join(log_root, name, f"{stamp}_{run_name}")
-        runner = OnPolicyRunner(
-            env, model=model, cfg=entry.train_cfg, log_dir=log_dir,
-            seed=seed, metrics_callback=metrics_callback,
-            **entry.runner_kwargs
-        )
         if resume:
             if not load_dir:
-                # Latest previous run directory (ref helpers.py:183-205).
+                # Most recent previous run directory by mtime
+                # (ref helpers.py:183-205; lexicographic sort of the
+                # "%b%d_..." stamps is wrong across month boundaries).
                 task_root = os.path.join(log_root, name)
                 runs = sorted(
-                    d for d in os.listdir(task_root)
-                    if os.path.isdir(os.path.join(task_root, d))
-                    and d != os.path.basename(log_dir)
+                    (d for d in os.listdir(task_root)
+                     if os.path.isdir(os.path.join(task_root, d))
+                     and d != os.path.basename(log_dir)),
+                    key=lambda d: os.path.getmtime(
+                        os.path.join(task_root, d)),
                 )
                 if not runs:
                     raise FileNotFoundError(
                         f"no previous runs to resume under {task_root}"
                     )
                 load_dir = os.path.join(task_root, runs[-1])
+            if model is None:
+                # Rebuild the trained network exactly as recorded
+                # (hidden-dim mismatch breaks the orbax restore).
+                from ..rl.runner import load_model_arch
+
+                model = load_model_arch(load_dir)
+        runner = OnPolicyRunner(
+            env, model=model, cfg=entry.train_cfg, log_dir=log_dir,
+            seed=seed, metrics_callback=metrics_callback,
+            **entry.runner_kwargs
+        )
+        if resume:
             from ..rl.runner import CheckpointManager
 
             src = CheckpointManager(load_dir)

@@ -21,6 +21,40 @@ import orbax.checkpoint as ocp
 from .networks import ActorCritic
 from .ppo import PPOConfig, TrainState, init_train_state, make_learn_iteration
 
+_ARCH_FIELDS = ("num_actions", "actor_hidden_dims", "critic_hidden_dims",
+                "activation", "init_noise_std", "rnn_hidden_size")
+
+
+def save_model_arch(model, log_dir: str) -> None:
+    """Record the network architecture next to the checkpoints, so a later
+    resume/play can rebuild the exact module without the caller having to
+    re-specify hidden dims (a mismatch makes orbax restore fail on
+    shape)."""
+    arch = {"cls": type(model).__name__}
+    for f in _ARCH_FIELDS:
+        if hasattr(model, f):
+            v = getattr(model, f)
+            arch[f] = list(v) if isinstance(v, (tuple, list)) else v
+    os.makedirs(log_dir, exist_ok=True)
+    with open(os.path.join(log_dir, "arch.json"), "w") as f:
+        json.dump(arch, f)
+
+
+def load_model_arch(log_dir: str):
+    """Rebuild the network recorded by ``save_model_arch`` (None if the
+    run predates arch recording)."""
+    path = os.path.join(log_dir, "arch.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        arch = json.load(f)
+    from . import networks
+
+    cls = getattr(networks, arch.pop("cls"))
+    arch = {k: tuple(v) if isinstance(v, list) else v
+            for k, v in arch.items()}
+    return cls(**arch)
+
 
 class CheckpointManager:
     """latest/best-per-stage checkpoint aliases (ref utils.py:314-344)."""
@@ -47,8 +81,15 @@ class CheckpointManager:
             self._save(f"best{stage}", params)
 
     def load(self, name: str, template):
+        self._ckpt.wait_until_finished()
         path = os.path.join(self.log_dir, name)
         return self._ckpt.restore(path, target=template)
+
+    def wait_until_finished(self) -> None:
+        """Block until async orbax commits land (else a process exiting
+        right after save() races the background commit thread against
+        interpreter shutdown and corrupts/errors the checkpoint)."""
+        self._ckpt.wait_until_finished()
 
 
 class OnPolicyRunner:
@@ -91,6 +132,8 @@ class OnPolicyRunner:
             self._learn = make_learn_iteration(env, self.model, cfg)
         self.log_dir = log_dir
         self.ckpt = CheckpointManager(log_dir) if log_dir else None
+        if log_dir:
+            save_model_arch(self.model, log_dir)
         self.metrics_callback = metrics_callback
         self.history = []
         self.it = 0
@@ -151,6 +194,8 @@ class OnPolicyRunner:
                 )
             self.it += 1
         flush()
+        if self.ckpt:
+            self.ckpt.wait_until_finished()
         return self.history
 
     def get_inference_policy(self):

@@ -1,4 +1,4 @@
-"""Policy export: StableHLO + TF SavedModel.
+"""Policy export: StableHLO + TF SavedModel + TorchScript + ONNX.
 
 Replaces the reference's TorchScript JIT + ONNX policy exporters
 (ref: legged_gym/utils/helpers.py:274-313, scripts/play.py:74-87,
@@ -62,15 +62,12 @@ def export_policy_savedmodel(policy: Callable, obs_dim: int, path: str,
     return path
 
 
-def export_policy_torchscript(params, path: str,
-                              activation: str = "elu") -> str:
-    """Export a flax ActorCritic's actor as a TorchScript module.
+def _actor_torch_module(params, activation: str = "elu"):
+    """Rebuild the flax actor MLP as an eval-mode torch.nn.Sequential.
 
-    Direct counterpart of the reference's ``export_policy_as_jit``
-    (ref: legged_gym/utils/helpers.py:274-286): deployment stacks that
-    consume TorchScript keep working against policies trained here. The
     flax Dense kernels are (in, out); torch Linear weights are (out, in),
-    so kernels are transposed. Parity vs the JAX forward is asserted in
+    so kernels are transposed. Shared by the TorchScript and ONNX
+    exporters; parity vs the JAX forward is asserted in
     tests/test_export.py.
     """
     import torch
@@ -91,10 +88,51 @@ def export_policy_torchscript(params, path: str,
         layers.append(lin)
         if i < n_dense - 1:
             layers.append(acts[activation]())
-    module = torch.nn.Sequential(*layers).eval()
-    scripted = torch.jit.script(module)
+    return torch.nn.Sequential(*layers).eval()
+
+
+def export_policy_torchscript(params, path: str,
+                              activation: str = "elu") -> str:
+    """Export a flax ActorCritic's actor as a TorchScript module.
+
+    Direct counterpart of the reference's ``export_policy_as_jit``
+    (ref: legged_gym/utils/helpers.py:274-286): deployment stacks that
+    consume TorchScript keep working against policies trained here.
+    """
+    import torch
+
+    scripted = torch.jit.script(_actor_torch_module(params, activation))
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     scripted.save(path)
+    return path
+
+
+def export_policy_onnx(params, obs_dim: int, path: str,
+                       activation: str = "elu") -> Optional[str]:
+    """Export a flax ActorCritic's actor as an ONNX model.
+
+    Counterpart of the reference's ONNX export (ref: scripts/play.py:79-87,
+    deep_tube_learning/train_rl.py:57-63). Requires the ``onnx`` package
+    (torch's exporter serializes through it); returns None when it is not
+    installed — StableHLO (`export_policy_stablehlo`) is the always-available
+    portable format here.
+    """
+    try:
+        import onnx  # noqa: F401
+        import torch
+    except Exception:
+        return None
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    torch.onnx.export(
+        _actor_torch_module(params, activation),
+        (torch.zeros(1, obs_dim),),
+        path,
+        input_names=["obs"],
+        output_names=["actions"],
+        dynamic_axes={"obs": {0: "batch"}, "actions": {0: "batch"}},
+        dynamo=False,
+    )
     return path
 
 

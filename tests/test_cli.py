@@ -50,3 +50,23 @@ def test_plan_and_mpc(tmp_path):
 
     m = loadmat(tmp_path / "mpc.mat")
     assert m["z"].shape[0] == 31
+
+
+def test_train_play_export(tmp_path):
+    log_root = str(tmp_path / "logs")
+    run_cli(["train", "--task", "rom_tracking", "--num-envs", "16",
+             "--max-iterations", "2", "--log-root", log_root,
+             "--run-name", "t"], timeout=300)
+    export_dir = str(tmp_path / "export")
+    out = run_cli(["play", "--task", "rom_tracking", "--num-envs", "2",
+                   "--steps", "10", "--log-root", log_root,
+                   "--export", export_dir], timeout=300)
+    assert "exported StableHLO" in out
+    assert os.path.exists(os.path.join(export_dir, "policy.shlo"))
+    # TorchScript always exports; ONNX only when the package is present
+    assert os.path.exists(os.path.join(export_dir, "policy.pt"))
+    try:
+        import onnx  # noqa: F401
+        assert os.path.exists(os.path.join(export_dir, "policy.onnx"))
+    except ImportError:
+        assert "exported ONNX: None" in out

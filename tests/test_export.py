@@ -89,3 +89,25 @@ def test_lstm_torchscript_stateful_parity(tmp_path):
     with torch.no_grad():
         out_reset = loaded(torch.from_numpy(seq[0])).numpy()
     np.testing.assert_allclose(out_reset, means_t[0], atol=1e-6)
+
+
+def test_onnx_export_gated(tmp_path):
+    """ONNX export works when `onnx` is installed, returns None otherwise."""
+    from legged_gym_dev_tpu.utils.export import export_policy_onnx
+
+    policy, params, obs_dim = _make_policy()
+    path = export_policy_onnx(params, obs_dim, str(tmp_path / "policy.onnx"))
+    try:
+        import onnx  # noqa: F401
+    except ImportError:
+        assert path is None
+        return
+    assert os.path.exists(path)
+    ort = pytest.importorskip("onnxruntime")
+    sess = ort.InferenceSession(path)
+    obs = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(3), (5, obs_dim)), np.float32
+    )
+    (out,) = sess.run(None, {"obs": obs})
+    np.testing.assert_allclose(out, np.asarray(policy(jnp.asarray(obs))),
+                               atol=1e-5)
