@@ -209,6 +209,8 @@ def make_velocity_env(urdf_path: str, num_envs: int = 4096,
                       reward_scales=A1_REWARD_SCALES,
                       add_noise: bool = True,
                       episode_length_s: float = 20.0,
+                      only_positive_rewards: bool = True,
+                      max_contact_force: float = 100.0,
                       terrain=None):
     """Velocity-command task for any URDF robot (ref legged_robot.py)."""
     from .legged_robot_velocity import (
@@ -276,7 +278,8 @@ def make_velocity_env(urdf_path: str, num_envs: int = 4096,
         ),
         tracking_sigma=jnp.asarray(0.25),
         base_height_target=jnp.asarray(base_height_target),
-        max_contact_force=jnp.asarray(100.0),
+        max_contact_force=jnp.asarray(max_contact_force),
+        only_positive_rewards=only_positive_rewards,
         soft_dof_vel_limit=jnp.asarray(1.0),
         soft_torque_limit=jnp.asarray(1.0),
         env_origins=env_origins,
@@ -359,8 +362,22 @@ def make_cassie_env(**kw):
     kw.setdefault("foot_name", "toe")
     kw.setdefault("penalize_on", ())
     kw.setdefault("terminate_on", ("pelvis",))
-    # Bipeds add the single-stance 'no_fly' term (ref cassie.py:43-46) —
-    # wired in a later round with the biped reward variant.
+    kw.setdefault("only_positive_rewards", False)
+    kw.setdefault("max_contact_force", 300.0)
+    # Cassie reward set (ref cassie_config.py:89-100): the quadruped terms
+    # that cassie zeroes are dropped, and the biped single-stance `no_fly`
+    # term (ref cassie.py:43-46) is added.
+    kw.setdefault("reward_scales", (
+        ("tracking_lin_vel", 1.0),
+        ("tracking_ang_vel", 1.0),
+        ("lin_vel_z", -0.5),
+        ("torques", -5.0e-6),
+        ("dof_acc", -2.0e-7),
+        ("feet_air_time", 5.0),
+        ("dof_pos_limits", -1.0),
+        ("no_fly", 0.25),
+        ("termination", -200.0),
+    ))
     return make_velocity_env(CASSIE_URDF, **kw)
 
 

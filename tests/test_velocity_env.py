@@ -76,3 +76,19 @@ def test_reward_terms_all_computable(env):
     state, tr = env.step(state, jnp.zeros((B, 12)))
     for k in dict(env.reward_scales):
         assert f"rew_{k}" in tr.info["episode"], k
+
+
+def test_cassie_biped_no_fly():
+    """Cassie preset builds, steps, and wires the biped no_fly term
+    (ref cassie.py:43-46, cassie_config.py:89-100)."""
+    env = task_registry.make_env("cassie_velocity", num_envs=2,
+                                 add_noise=False)
+    assert dict(env.reward_scales)["no_fly"] == 0.25
+    assert env.only_positive_rewards is False
+    state, obs = env.reset(jax.random.PRNGKey(3))
+    assert np.all(np.isfinite(np.asarray(obs)))
+    step = jax.jit(env.step)
+    for _ in range(5):
+        state, tr = step(state, jnp.zeros((2, env.num_actions)))
+    assert np.all(np.isfinite(np.asarray(tr.reward)))
+    assert "rew_no_fly" in tr.info["episode"]
