@@ -317,7 +317,11 @@ class LeggedRobotVelocityEnv:
 
     # ---- rewards (ref legged_robot.py:918-1015) ------------------------
     def _rewards(self, state, robot, f_contact, term_contact,
-                 first_contact, air_time) -> Dict[str, jax.Array]:
+                 first_contact, air_time,
+                 names=None) -> Dict[str, jax.Array]:
+        """Reward-term table. ``names`` restricts to a subset so variants
+        (the trajectory task) can compute their own terms and delegate the
+        shared ones here."""
         R = quat_to_rotmat(robot.base_quat)
         lin_vel_body = jnp.einsum("bji,bj->bi", R, robot.v[:, :3])
         gravity_body = -R[:, 2, :]
@@ -329,7 +333,8 @@ class LeggedRobotVelocityEnv:
                if self.penalized_spheres else None)
 
         out = {}
-        for name, _ in self.reward_scales:
+        for name in (names if names is not None
+                     else [n for n, _ in self.reward_scales]):
             if name == "lin_vel_z":
                 out[name] = jnp.square(lin_vel_body[:, 2])
             elif name == "ang_vel_xy":

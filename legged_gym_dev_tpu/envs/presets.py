@@ -298,11 +298,75 @@ def make_velocity_env(urdf_path: str, num_envs: int = 4096,
     )
 
 
+def make_trajectory_env(urdf_path: str, num_envs: int = 4096,
+                        rom_dt: float = 0.1, vel_max: float = 0.35,
+                        n_traj: int = 10, dn_traj: int = 1,
+                        t_low: float = 1.0, t_high: float = 2.0,
+                        max_rom_distance=(0.1, 0.1),
+                        zero_rom_dist_llh: float = 0.25,
+                        reward_scales=None,
+                        **kw):
+    """Trajectory-tracking task for any URDF robot: the velocity env's
+    machinery with commands replaced by a rolling SingleInt2D ROM window
+    (ref legged_robot_trajectory.py + legged_robot_trajectory_config.py:
+    71-100 rom/trajectory_generator blocks; anymal_c flat/rough trajectory
+    configs)."""
+    from .legged_robot_trajectory import LeggedRobotTrajectoryEnv
+
+    if reward_scales is None:
+        # ANYmal flat-trajectory set (ref anymal_c_flat_trajectory_config
+        # rewards.scales + base trajectory scales; tracking_rom at its
+        # reference-commented nominal 6.0, differential_error slopes in
+        # the env).
+        reward_scales = (
+            ("tracking_rom", 6.0),
+            ("termination", -0.5),
+            ("orientation", -5.0),
+            ("torques", -2.5e-5),
+            ("feet_air_time", 0.5),
+            ("action_rate", -0.01),
+            ("dof_acc", -2.5e-7),
+        )
+    base = make_velocity_env(
+        urdf_path, num_envs=num_envs, reward_scales=reward_scales,
+        only_positive_rewards=kw.pop("only_positive_rewards", False), **kw
+    )
+    rom = SingleInt2D.create(
+        rom_dt, [-1e9, -1e9], [1e9, 1e9],
+        [-vel_max, -vel_max], [vel_max, vel_max],
+    )
+    gen = TrajectoryGenerator.create(
+        rom, UniformSampleHoldDT.create(t_low, t_high),
+        UniformWeightSampler(),
+        dt_loop=base.dt, N=n_traj, dN=dn_traj, prob_stationary=0.01,
+    )
+    nj = base.nj
+    # ref trajectory noise vector: velocity blocks as the velocity task,
+    # zeros over the trajectory window and actions.
+    noise_vec = jnp.concatenate([
+        0.1 * 2.0 * jnp.ones(3),
+        0.2 * 0.25 * jnp.ones(3),
+        0.05 * jnp.ones(3),
+        jnp.zeros(rom.n * n_traj),
+        0.01 * jnp.ones(nj),
+        1.5 * 0.05 * jnp.ones(nj),
+        jnp.zeros(nj),
+    ])
+    return LeggedRobotTrajectoryEnv(
+        **{f.name: getattr(base, f.name)
+           for f in base.__dataclass_fields__.values()},
+        traj_gen=gen,
+        reward_weighting=jnp.asarray([1.0, 1.0]),
+        max_rom_distance=jnp.asarray(max_rom_distance, jnp.float32),
+        zero_rom_dist_llh=jnp.asarray(zero_rom_dist_llh, jnp.float32),
+    ).replace(noise_vec=noise_vec)
+
+
 def make_a1_env(**kw):
     return make_velocity_env(A1_URDF, **kw)
 
 
-def make_anymal_c_env(**kw):
+def _anymal_c_kwargs(kw):
     kw.setdefault("default_angles", {
         "LF_HAA": 0.0, "LF_HFE": 0.4, "LF_KFE": -0.8,
         "RF_HAA": 0.0, "RF_HFE": 0.4, "RF_KFE": -0.8,
@@ -317,7 +381,24 @@ def make_anymal_c_env(**kw):
     kw.setdefault("foot_name", "FOOT")
     kw.setdefault("penalize_on", ("SHANK", "THIGH"))
     kw.setdefault("terminate_on", ("base",))
-    return make_velocity_env(ANYMAL_C_URDF, **kw)
+    return kw
+
+
+def make_anymal_c_env(**kw):
+    return make_velocity_env(ANYMAL_C_URDF, **_anymal_c_kwargs(kw))
+
+
+def make_anymal_c_trajectory_env(**kw):
+    """ANYmal C on the trajectory-tracking task (ref anymal_trajectory.py:
+    46-81 — identical robot on LeggedRobotTrajectory; flat variant,
+    anymal_c_flat_trajectory_config)."""
+    kw = _anymal_c_kwargs(kw)
+    kw.setdefault("max_contact_force", 350.0)
+    return make_trajectory_env(ANYMAL_C_URDF, **kw)
+
+
+def make_a1_trajectory_env(**kw):
+    return make_trajectory_env(A1_URDF, **kw)
 
 
 ACTUATOR_NET_PATH = (
@@ -389,5 +470,8 @@ task_registry.register("hopper_trajectory", make_hopper_trajectory_env,
 task_registry.register("rom_tracking", make_rom_tracking_env, PPOConfig())
 task_registry.register("a1_velocity", make_a1_env, PPOConfig())
 task_registry.register("anymal_c_velocity", make_anymal_c_env, PPOConfig())
+task_registry.register("anymal_c_trajectory", make_anymal_c_trajectory_env,
+                       PPOConfig())
+task_registry.register("a1_trajectory", make_a1_trajectory_env, PPOConfig())
 task_registry.register("anymal_c_lstm", make_anymal_c_lstm_env, PPOConfig())
 task_registry.register("cassie_velocity", make_cassie_env, PPOConfig())
