@@ -136,16 +136,52 @@ def cmd_collect(args):
     _setup(args)
     import jax
 
-    from .controllers import DoubleSingleTracking
-    from .envs.presets import make_rom_tracking_env
-    from .tube.collect import collect_epochs
+    from .tube.datasets import RolloutData
 
-    env = make_rom_tracking_env(num_envs=args.num_envs)
-    sim = env.sim
-    policy = DoubleSingleTracking.create(4.0, 4.0, sim.model.clip_v_z)
-    data = collect_epochs(sim, policy, jax.random.PRNGKey(args.seed),
-                          episode_length_s=args.episode_length_s,
-                          epochs=args.epochs)
+    if args.task == "rom_tracking":
+        # Physics-free ROM sim + PD tracker (ref custom_sim.py +
+        # simple_data_collection.py).
+        from .controllers import DoubleSingleTracking
+        from .envs.presets import make_rom_tracking_env
+        from .tube.collect import collect_epochs
+
+        env = make_rom_tracking_env(num_envs=args.num_envs)
+        sim = env.sim
+        policy = DoubleSingleTracking.create(4.0, 4.0, sim.model.clip_v_z)
+        data = collect_epochs(sim, policy, jax.random.PRNGKey(args.seed),
+                              episode_length_s=args.episode_length_s,
+                              epochs=args.epochs)
+    else:
+        # Rigid-body trajectory env with a trained RL policy, or the
+        # Raibert heuristic on the hopper (ref
+        # data_collection_trajectory.py:56-92).
+        from . import envs  # noqa: F401
+        from .envs import task_registry
+        from .tube.collect import collect_tracking
+
+        env = task_registry.make_env(args.task, num_envs=args.num_envs,
+                                     add_noise=False)
+        if args.raibert:
+            policy = env.raibert  # hopper tasks carry the heuristic
+            raibert_obs = True
+        else:
+            runner = task_registry.make_alg_runner(
+                env, args.task, log_root=args.log_root, seed=args.seed,
+                resume=True, load_run=args.checkpoint, load_dir=args.load,
+            )
+            policy = runner.get_inference_policy()
+            raibert_obs = False
+        parts = [
+            collect_tracking(
+                env, policy, jax.random.fold_in(
+                    jax.random.PRNGKey(args.seed), e
+                ),
+                episode_length_s=args.episode_length_s,
+                raibert_obs=raibert_obs,
+            )
+            for e in range(args.epochs)
+        ]
+        data = RolloutData.concatenate(parts)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     if args.shards:
         from .tube.shards import write_rollout_shards
@@ -358,6 +394,18 @@ def build_parser():
     pl.set_defaults(fn=cmd_play)
 
     c = sub.add_parser("collect")
+    c.add_argument("--task", default="rom_tracking",
+                   help="rom_tracking (ROM-only sim) or any registered "
+                        "trajectory task (hopper_trajectory, "
+                        "anymal_c_trajectory, ...)")
+    c.add_argument("--raibert", action="store_true",
+                   help="use the Raibert heuristic instead of a trained "
+                        "policy (hopper tasks)")
+    c.add_argument("--load", default="",
+                   help="run dir of the trained policy (default: most "
+                        "recent run under <log-root>/<task>)")
+    c.add_argument("--checkpoint", default="latest")
+    c.add_argument("--log-root", default="logs")
     common(c)
     c.add_argument("--num-envs", type=int, default=1024)
     c.add_argument("--epochs", type=int, default=4)

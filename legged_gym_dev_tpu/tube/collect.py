@@ -176,14 +176,16 @@ def collect_velocity_tracking(
     )
 
 
-def collect_hopper_tracking(
+def collect_tracking(
     env,
     policy: Callable[[jax.Array], jax.Array],
     key: jax.Array,
     episode_length_s: float,
     raibert_obs: bool = False,
 ) -> RolloutData:
-    """Collect ROM-tracking data from the rigid-body hopper env.
+    """Collect ROM-tracking data from any rigid-body trajectory env
+    (hopper, anymal_c_trajectory, a1_trajectory — anything exposing
+    rom/traj_gen/trajectory and robot.root_states).
 
     The reference collects from the Isaac hopper with either the trained RL
     policy or the Raibert heuristic (ref data_collection_trajectory.py:
@@ -244,3 +246,7 @@ def collect_hopper_tracking(
         z=z, v=np.asarray(v_t).transpose(1, 0, 2), pz_x=pz_x,
         done=np.asarray(done_t).transpose(1, 0),
     )
+
+
+# Back-compat name: the collector was written for the hopper first.
+collect_hopper_tracking = collect_tracking

@@ -6,7 +6,7 @@ Gym — 4096-16384 envs, 24 steps/env/iter, "train in minutes"
 the fused-jit learn iteration (rollout + GAE + 4x5 minibatch updates under
 one jit) on the rigid-body hopper env at training batch size.
 
-Usage: python scripts/bench_ppo.py [num_envs] [iters]
+Usage: python scripts/bench_ppo.py [num_envs] [iters] [task]
 Prints env-steps/s, iteration time, and projected wall-clock for the
 reference's 1000-iteration hopper run.
 """
@@ -33,8 +33,9 @@ from legged_gym_dev_tpu.rl.ppo import init_train_state, make_learn_iteration
 def main():
     num_envs = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    task = sys.argv[3] if len(sys.argv) > 3 else "hopper_trajectory"
 
-    env = task_registry.make_env("hopper_trajectory", num_envs=num_envs)
+    env = task_registry.make_env(task, num_envs=num_envs)
     cfg = PPOConfig()  # 24 steps, 4 minibatches x 5 epochs (ref parity)
     model = ActorCritic(num_actions=env.num_actions)
     key = jax.random.PRNGKey(0)

@@ -70,3 +70,16 @@ def test_train_play_export(tmp_path):
         assert os.path.exists(os.path.join(export_dir, "policy.onnx"))
     except ImportError:
         assert "exported ONNX: None" in out
+
+
+def test_collect_from_rigid_body_env(tmp_path):
+    """collect --task <trajectory env> rolls the Raibert heuristic in the
+    rigid-body hopper (ref data_collection_trajectory.py Isaac path)."""
+    data = str(tmp_path / "hopper.npz")
+    out = run_cli(["collect", "--task", "hopper_trajectory", "--raibert",
+                   "--num-envs", "2", "--epochs", "1",
+                   "--episode-length-s", "2", "--out", data], timeout=580)
+    assert "saved" in out
+    raw = np.load(data)
+    assert raw["z"].shape[0] == 2 and raw["pz_x"].shape == raw["z"].shape
+    assert np.isfinite(raw["pz_x"]).all()
