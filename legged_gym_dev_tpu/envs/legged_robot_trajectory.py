@@ -84,7 +84,8 @@ class LeggedRobotTrajectoryEnv(LeggedRobotVelocityEnv):
 
     @property
     def num_obs(self) -> int:
-        return 3 + 3 + 3 + self.rom.n * self.n_traj + 3 * self.nj
+        return (3 + 3 + 3 + self.rom.n * self.n_traj + 3 * self.nj
+                + self.num_height_points)
 
     # ---- observations (ref compute_observations:274-295) ----------------
     def _obs(self, state: TrajectoryEnvState) -> jax.Array:
@@ -96,7 +97,7 @@ class LeggedRobotTrajectoryEnv(LeggedRobotVelocityEnv):
         mod_traj = state.trajectory - self.rom.proj_z(
             robot.root_states
         )[:, None, :]
-        obs = jnp.concatenate([
+        parts = [
             lin_vel_body * 2.0,
             robot.v[:, 3:6] * 0.25,
             gravity_body,
@@ -104,7 +105,10 @@ class LeggedRobotTrajectoryEnv(LeggedRobotVelocityEnv):
             (robot.q - self.default_dof_pos) * 1.0,
             robot.v[:, 6:] * 0.05,
             state.actions,
-        ], axis=-1)
+        ]
+        if self.num_height_points:
+            parts.append(self._height_obs(robot))
+        obs = jnp.concatenate(parts, axis=-1)
         if self.add_noise:
             key = jax.random.fold_in(state.key, 7)
             obs = obs + (2.0 * jax.random.uniform(key, obs.shape) - 1.0) \

@@ -88,6 +88,13 @@ class LeggedRobotVelocityEnv:
     terrain_origins: Optional[jax.Array] = None   # (rows, cols, 3)
     terrain_types: Optional[jax.Array] = None     # (B,) int32
     actuator_net: Optional[ActuatorNetLSTM] = None
+    # Perceptive height scan (ref legged_robot.py:877-915 _get_heights +
+    # legged_robot_config.py:54-57): yaw-rotated measurement grid appended
+    # to obs as clip(base_z - 0.5 - h, -1, 1) * 5.0. None = blind.
+    measured_points_x: Optional[tuple] = struct.field(pytree_node=False,
+                                                      default=None)
+    measured_points_y: Optional[tuple] = struct.field(pytree_node=False,
+                                                      default=None)
     action_scale: float = struct.field(pytree_node=False, default=0.25)
     control_type: str = struct.field(pytree_node=False, default="P")
     heading_command: bool = struct.field(pytree_node=False, default=True)
@@ -115,8 +122,26 @@ class LeggedRobotVelocityEnv:
         return self.nj
 
     @property
+    def num_height_points(self) -> int:
+        if self.measured_points_x is None:
+            return 0
+        return len(self.measured_points_x) * len(self.measured_points_y)
+
+    @property
     def num_obs(self) -> int:
-        return 3 + 3 + 3 + 3 + self.nj + self.nj + self.nj
+        return (3 + 3 + 3 + 3 + self.nj + self.nj + self.nj
+                + self.num_height_points)
+
+    def _height_obs(self, robot: RobotState) -> jax.Array:
+        """Perceptive observation block (ref legged_robot.py:219-222)."""
+        from ..utils.terrain import height_scan
+
+        h = height_scan(self.sim.terrain_fn, robot.base_pos,
+                        robot.base_quat, self.measured_points_x,
+                        self.measured_points_y)
+        return jnp.clip(
+            robot.base_pos[:, 2:3] - 0.5 - h, -1.0, 1.0
+        ) * 5.0
 
     @property
     def dt(self) -> float:
@@ -155,7 +180,7 @@ class LeggedRobotVelocityEnv:
         lin_vel_body = jnp.einsum("bji,bj->bi", R, robot.v[:, :3])
         gravity_body = R[:, 2, :] * -1.0   # unit gravity in body frame
         cmd_scale = jnp.asarray([2.0, 2.0, 0.25])
-        obs = jnp.concatenate([
+        parts = [
             lin_vel_body * 2.0,
             robot.v[:, 3:6] * 0.25,
             gravity_body,
@@ -163,7 +188,10 @@ class LeggedRobotVelocityEnv:
             (robot.q - self.default_dof_pos) * 1.0,
             robot.v[:, 6:] * 0.05,
             state.actions,
-        ], axis=-1)
+        ]
+        if self.num_height_points:
+            parts.append(self._height_obs(robot))
+        obs = jnp.concatenate(parts, axis=-1)
         if self.add_noise:
             key = jax.random.fold_in(state.key, 7)
             obs = obs + (2.0 * jax.random.uniform(key, obs.shape) - 1.0) \

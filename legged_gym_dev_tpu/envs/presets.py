@@ -211,6 +211,7 @@ def make_velocity_env(urdf_path: str, num_envs: int = 4096,
                       episode_length_s: float = 20.0,
                       only_positive_rewards: bool = True,
                       max_contact_force: float = 100.0,
+                      measure_heights: bool = False,
                       terrain=None):
     """Velocity-command task for any URDF robot (ref legged_robot.py)."""
     from .legged_robot_velocity import (
@@ -252,6 +253,13 @@ def make_velocity_env(urdf_path: str, num_envs: int = 4096,
     feet, pen, term = classify_contacts(model, foot_name, penalize_on,
                                         terminate_on)
     nj = model.nj
+    # Perceptive height-scan grid (ref legged_robot_config.py:54-57:
+    # 17 x 11 = 187 points -> num_observations 235 on the quadrupeds).
+    mpx = tuple(np.round(np.arange(-0.8, 0.81, 0.1), 2)) \
+        if measure_heights else None
+    mpy = tuple(np.round(np.arange(-0.5, 0.51, 0.1), 2)) \
+        if measure_heights else None
+    n_hpts = len(mpx) * len(mpy) if measure_heights else 0
     # ref noise scales (legged_robot_config noise block) x obs scales.
     noise_vec = jnp.concatenate([
         0.1 * 2.0 * jnp.ones(3),      # lin vel
@@ -261,6 +269,7 @@ def make_velocity_env(urdf_path: str, num_envs: int = 4096,
         0.01 * jnp.ones(nj),          # dof pos
         1.5 * 0.05 * jnp.ones(nj),    # dof vel
         jnp.zeros(nj),                # actions
+        0.1 * 5.0 * jnp.ones(n_hpts),  # height measurements
     ])
     return LeggedRobotVelocityEnv(
         sim=sim,
@@ -280,6 +289,8 @@ def make_velocity_env(urdf_path: str, num_envs: int = 4096,
         base_height_target=jnp.asarray(base_height_target),
         max_contact_force=jnp.asarray(max_contact_force),
         only_positive_rewards=only_positive_rewards,
+        measured_points_x=mpx,
+        measured_points_y=mpy,
         soft_dof_vel_limit=jnp.asarray(1.0),
         soft_torque_limit=jnp.asarray(1.0),
         env_origins=env_origins,
@@ -351,6 +362,7 @@ def make_trajectory_env(urdf_path: str, num_envs: int = 4096,
         0.01 * jnp.ones(nj),
         1.5 * 0.05 * jnp.ones(nj),
         jnp.zeros(nj),
+        0.1 * 5.0 * jnp.ones(base.num_height_points),
     ])
     return LeggedRobotTrajectoryEnv(
         **{f.name: getattr(base, f.name)

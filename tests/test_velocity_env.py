@@ -92,3 +92,24 @@ def test_cassie_biped_no_fly():
         state, tr = step(state, jnp.zeros((2, env.num_actions)))
     assert np.all(np.isfinite(np.asarray(tr.reward)))
     assert "rew_no_fly" in tr.info["episode"]
+
+
+def test_perceptive_height_scan_obs():
+    """measure_heights appends the 187-point scan: obs 48+187=235, matching
+    the reference's rough-terrain num_observations
+    (ref legged_robot_config.py:37,54-57, _get_heights:877-915)."""
+    from legged_gym_dev_tpu.utils.terrain import Terrain, TerrainCfg
+
+    terrain = Terrain(TerrainCfg(num_rows=2, num_cols=2), num_robots=2,
+                      seed=0)
+    env = task_registry.make_env("a1_velocity", num_envs=2, add_noise=False,
+                                 measure_heights=True, terrain=terrain)
+    assert env.num_height_points == 187
+    assert env.num_obs == 235
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (2, 235)
+    h_obs = np.asarray(obs[:, 48:])
+    assert np.all(np.isfinite(h_obs)) and np.all(np.abs(h_obs) <= 5.0)
+    # On the terrain the scan must not be constant across points for at
+    # least one env (cells are sloped/stepped).
+    assert np.std(h_obs) > 0.0
