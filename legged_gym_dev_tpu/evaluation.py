@@ -192,3 +192,82 @@ def evaluate_sim2sim_hopper(steps: int = 200, dt: float = 0.005,
             "q_ours": np.asarray(q_tr), "q_mjc": np.stack(mj_q),
         })
     return out
+
+
+# ---------------------------------------------------------------------------
+# Tube evaluation along a closed-loop MPC trace
+# (ref evaluation/evaluate_tube_simple_oneshot_on_mpc_traj.py)
+# ---------------------------------------------------------------------------
+
+def evaluate_tube_on_mpc_trace(trace) -> Dict[str, float]:
+    """Certification stats of a closed-loop tube-MPC run: does the planned
+    tube actually bound the tracked robot's error along the executed
+    trajectory (ref evaluate_tube_simple_oneshot_on_mpc_traj.py: tube NN
+    evaluated along the MPC plan with a PD-tracked double integrator)?
+
+    Takes a solver.mpc.MPCTrace; the first step is skipped (w starts at 0
+    before the first re-solve has committed a width).
+    """
+    z = np.asarray(trace.z)[1:]
+    w = np.asarray(trace.w)[1:]
+    err = np.linalg.norm(np.asarray(trace.pz_x)[1:] - z, axis=-1)
+    return {
+        "coverage": float(np.mean(w >= err)),
+        "mean_width": float(w.mean()),
+        "mean_error": float(err.mean()),
+        "max_error": float(err.max()),
+        "mean_margin": float(np.mean(w - err)),
+        "solver_converged_frac": float(np.asarray(trace.converged).mean()),
+        "max_solver_viol": float(np.asarray(trace.viol).max()),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Error-dynamics evaluation (ref evaluation/evaluate_error_dyn[_simple].py)
+# ---------------------------------------------------------------------------
+
+def evaluate_error_dynamics(model: MLP, rollouts: RolloutData,
+                            horizon: int = 25) -> Dict[str, float]:
+    """Recursive signed-error prediction accuracy: from each rollout's
+    initial error, feed the model's own prediction back for ``horizon``
+    steps and compare against the recorded errors (ref
+    evaluate_error_dyn_simple.py one-step + recursive MSE reporting).
+
+    The model maps [e_t, z_t, v_t] -> e_{t+1} (error_dynamics_dataset
+    layout at window N=1); the planned z and applied v are known along the
+    rollout, only the error is recursed.
+    """
+    e = rollouts.pz_x - rollouts.z          # (B, T+1, n) signed error
+    z = rollouts.z[:, :-1]                   # (B, T, n) planned states
+    v = rollouts.v                           # (B, T, m)
+    T = min(horizon, v.shape[1])
+
+    @jax.jit
+    def recurse(e0, z_traj, v_traj):
+        def body(e_prev, zv_t):
+            e_next = model(jnp.concatenate([e_prev, zv_t]))
+            return e_next, e_next
+
+        _, es = jax.lax.scan(
+            body, e0,
+            jnp.concatenate([z_traj[:T], v_traj[:T]], axis=-1),
+        )
+        return es
+
+    pred = np.asarray(jax.vmap(recurse)(
+        jnp.asarray(e[:, 0]), jnp.asarray(z), jnp.asarray(v)
+    ))
+    actual = e[:, 1:T + 1]
+    one_step_in = np.concatenate([e[:, :-1], z, v], axis=-1).reshape(
+        -1, 2 * e.shape[-1] + v.shape[-1]
+    )
+    one_step_pred = np.asarray(
+        jax.jit(jax.vmap(model.__call__))(jnp.asarray(one_step_in))
+    ).reshape(e[:, 1:].shape)
+    return {
+        "one_step_mse": float(np.mean((one_step_pred - e[:, 1:]) ** 2)),
+        "recursive_mse": float(np.mean((pred - actual) ** 2)),
+        "recursive_final_err": float(
+            np.mean(np.linalg.norm(pred[:, -1] - actual[:, -1], axis=-1))
+        ),
+    }

@@ -71,3 +71,59 @@ def test_grid_helpers():
     # Identity quat -> +x forward.
     v = quaternion_to_direction_vector([0.0, 0.0, 0.0, 1.0])
     np.testing.assert_allclose(v, [1, 0, 0], atol=1e-6)
+
+
+def test_error_dynamics_eval():
+    from legged_gym_dev_tpu.evaluation import evaluate_error_dynamics
+    from legged_gym_dev_tpu.tube.datasets import error_dynamics_dataset
+
+    r = synthetic_rollouts(E=4, T=30)
+    ds = error_dynamics_dataset(r, N=1, dN=1)
+    model = MLP.create(jax.random.PRNGKey(1), ds.input_dim,
+                       ds.target.shape[-1], num_units=16, num_layers=1)
+    out = evaluate_error_dynamics(model, r, horizon=10)
+    assert np.isfinite(out["one_step_mse"])
+    assert np.isfinite(out["recursive_mse"])
+    assert out["recursive_final_err"] >= 0.0
+
+
+def test_tube_on_mpc_trace_eval():
+    """Closed-loop tube MPC on the gap problem, certified by the new
+    on-trace evaluator (ref evaluate_tube_simple_oneshot_on_mpc_traj)."""
+    from legged_gym_dev_tpu.core import DoubleInt2D, make_rom
+    from legged_gym_dev_tpu.evaluation import evaluate_tube_on_mpc_trace
+    from legged_gym_dev_tpu.solver import (
+        ALConfig,
+        PROBLEM_DICT,
+        TrajOptParams,
+        get_tube_dynamics,
+    )
+    from legged_gym_dev_tpu.solver.mpc import MPCConfig, closed_loop_tube_mpc
+
+    N, H_rev = 15, 5
+    prob = PROBLEM_DICT["gap"]
+    rom = make_rom(
+        "SingleInt2D", prob["dt"],
+        [-prob["pos_max"]] * 2, [prob["pos_max"]] * 2,
+        [-prob["vel_max"]] * 2, [prob["vel_max"]] * 2,
+    )
+    robot = DoubleInt2D.create(
+        prob["dt"], [-np.inf, -np.inf, -0.3, -0.3],
+        [np.inf, np.inf, 0.3, 0.3], [-0.5, -0.5], [0.5, 0.5],
+    )
+    p = TrajOptParams.create(
+        rom, N, H_rev, 10 * np.eye(2), 10 * np.eye(2),
+        prob["start"], prob["goal"], prob["obs"]["c"], prob["obs"]["r"],
+        Qw=0.0, w_max=1.0,
+    )
+    tube_fn = get_tube_dynamics("l1", N, scaling=0.5)
+    trace = jax.jit(
+        lambda p: closed_loop_tube_mpc(
+            p, tube_fn, robot, MPCConfig(N=N, H_rev=H_rev, H=20),
+            al_loop=ALConfig(outer_iters=6, inner_iters=6),
+        )
+    )(p)
+    out = evaluate_tube_on_mpc_trace(trace)
+    assert out["solver_converged_frac"] > 0.5
+    assert out["coverage"] > 0.5, out
+    assert np.isfinite(out["mean_margin"])
