@@ -54,13 +54,15 @@ def test_plan_and_mpc(tmp_path):
 
 def test_train_play_export(tmp_path):
     log_root = str(tmp_path / "logs")
+    # Generous timeouts: under pytest-xdist all workers share the host
+    # cores, so subprocess compiles run several times slower than alone.
     run_cli(["train", "--task", "rom_tracking", "--num-envs", "16",
              "--max-iterations", "2", "--log-root", log_root,
-             "--run-name", "t"], timeout=300)
+             "--run-name", "t"], timeout=900)
     export_dir = str(tmp_path / "export")
     out = run_cli(["play", "--task", "rom_tracking", "--num-envs", "2",
                    "--steps", "10", "--log-root", log_root,
-                   "--export", export_dir], timeout=300)
+                   "--export", export_dir], timeout=900)
     assert "exported StableHLO" in out
     assert os.path.exists(os.path.join(export_dir, "policy.shlo"))
     # TorchScript always exports; ONNX only when the package is present
@@ -78,7 +80,7 @@ def test_collect_from_rigid_body_env(tmp_path):
     data = str(tmp_path / "hopper.npz")
     out = run_cli(["collect", "--task", "hopper_trajectory", "--raibert",
                    "--num-envs", "2", "--epochs", "1",
-                   "--episode-length-s", "2", "--out", data], timeout=580)
+                   "--episode-length-s", "2", "--out", data], timeout=900)
     assert "saved" in out
     raw = np.load(data)
     assert raw["z"].shape[0] == 2 and raw["pz_x"].shape == raw["z"].shape
