@@ -68,6 +68,7 @@ class HopperDR:
     torque: jax.Array        # (B,)
     speed: jax.Array         # (B,)
     ts_slope: jax.Array      # (B,)
+    base_mass: jax.Array     # (B,) additive payload (ref randomize_base_mass)
 
 
 @struct.dataclass
@@ -85,6 +86,8 @@ class CurriculumTables:
     sigma_tracking_rom: jax.Array  # (S,)
     reward_mult: jax.Array         # (S,) applied to all reward terms
     t_samp: jax.Array              # (S,) hold-time multiplier
+    freq_low: jax.Array = None     # (S,) sinusoid-mode freq multipliers
+    freq_high: jax.Array = None    # (S,)
     steps: tuple = struct.field(pytree_node=False, default=(2500, 5000))
     enabled: bool = struct.field(pytree_node=False, default=False)
 
@@ -98,6 +101,32 @@ class CurriculumTables:
             sigma_tracking_rom=jnp.asarray([1.0, 0.8, 0.6]),
             reward_mult=jnp.asarray([1.0, 1.0, 1.0]),
             t_samp=jnp.asarray([3.0, 2.0, 1.0]),
+            freq_low=jnp.asarray([0.01, 0.1, 1.0]),
+            freq_high=jnp.asarray([0.1, 0.5, 1.0]),
+        )
+
+    @classmethod
+    def hopper_single_int(cls):
+        """The 8-stage schedule the fork actually trains the hopper with
+        (ref deep_tube_learning/configs/rl/hopper_single_int.yaml:67-98):
+        pushes ramp in over four stages, hold times/sinusoid freqs tighten,
+        ROM velocity stays at 0.5x, tracking sigma sharpens 10x in the last
+        two stages; per-term reward tables are all 1.0 there, and the
+        max_rom_distance table is all-zero (both folded into the scalar
+        ``reward_mult``/preset fields)."""
+        return cls(
+            push_magnitude=jnp.asarray(
+                [0.0, 0.3, 0.6, 1.0, 1.0, 1.0, 1.0, 1.0]),
+            push_time=jnp.asarray([4., 3., 2., 1., 1., 1., 1., 1.]),
+            rom_v=jnp.full((8,), 0.5),
+            sigma_tracking_rom=jnp.asarray(
+                [1., 1., 1., 1., 1., 1., 0.1, 0.1]),
+            reward_mult=jnp.ones(8),
+            t_samp=jnp.asarray([3., 2., 1., 1., 1., 1., 1., 1.]),
+            freq_low=jnp.asarray([0.01, 0.1, 1., 1., 1., 1., 1., 1.]),
+            freq_high=jnp.asarray([0.1, 0.5, 1., 1., 1., 1., 1., 1.]),
+            steps=(2500, 5000, 7500, 10000, 12500, 15000, 17500),
+            enabled=True,
         )
 
 
@@ -318,7 +347,7 @@ class HopperTrajectoryEnv:
             # configs/data_generation/default_hopper.yaml).
             return dr
         B = self.num_envs
-        ks = jax.random.split(key, 8)
+        ks = jax.random.split(key, 9)
         u = lambda k, lo, hi, shape=(B,): jax.random.uniform(
             k, shape, minval=lo, maxval=hi
         )
@@ -331,6 +360,8 @@ class HopperTrajectoryEnv:
             torque=u(ks[5], 0.95, 1.05),
             speed=u(ks[6], 0.9, 1.1),
             ts_slope=u(ks[7], 0.9, 1.1),
+            # ref flat/hopper_config.py domain_rand.added_mass_range.
+            base_mass=u(ks[8], -1.0, 1.0),
         )
         return jax.tree.map(lambda n, o: _mwhere(mask, n, o), new, dr)
 
@@ -341,6 +372,7 @@ class HopperTrajectoryEnv:
             spring_set=jnp.ones(B), p_gain=jnp.ones((B, 4)),
             d_gain=jnp.ones((B, 4)), torque=jnp.ones(B),
             speed=jnp.ones(B), ts_slope=jnp.ones(B),
+            base_mass=jnp.zeros(B),
         )
         zero_action = jnp.tile(
             jnp.asarray([1.0, 0, 0, 0]), (B, 1)
@@ -408,7 +440,17 @@ class HopperTrajectoryEnv:
                                v_max=self.rom.v_max * mv)
         ts = self.traj_gen.t_sampler
         ts = ts.replace(t_low=ts.t_low * mt, t_high=ts.t_high * mt)
-        return self.traj_gen.replace(rom=rom, t_sampler=ts)
+        gen = self.traj_gen.replace(rom=rom, t_sampler=ts)
+        if self.curriculum.freq_low is not None:
+            # Sinusoid-mode frequency band multipliers (ref yaml
+            # trajectory_generator.freq_low/freq_high tables).
+            gen = gen.replace(
+                freq_low=gen.freq_low
+                * self._cur(state, self.curriculum.freq_low),
+                freq_high=gen.freq_high
+                * self._cur(state, self.curriculum.freq_high),
+            )
+        return gen
 
     # ---- rewards --------------------------------------------------------
     def _rewards(self, state: HopperEnvState, robot: RobotState,
@@ -492,7 +534,9 @@ class HopperTrajectoryEnv:
             tau = self._compute_torques(state, rs)
             return tau, tau
 
-        robot, torques = self.sim.step_with_carry(
+        sim = self.sim.replace(base_mass_delta=state.dr.base_mass) \
+            if self.domain_rand else self.sim
+        robot, torques = sim.step_with_carry(
             state.robot, jnp.zeros((self.num_envs, 4)), ctrl
         )
 
@@ -516,13 +560,18 @@ class HopperTrajectoryEnv:
 
         rews = self._rewards(mid, robot, actions, torques, term_contact)
         scales = dict(self.reward_scales)
+        # Stage-wise reward multiplier (ref yaml curriculum.rewards tables;
+        # the fork's actual tables are uniform across terms, so one scalar
+        # table applies to every term).
+        rmult = self._cur(state, self.curriculum.reward_mult) \
+            if self.curriculum is not None else 1.0
         total = sum(
             r * (scales[k] * self.dt) for k, r in rews.items()
             if k != "termination"
-        )
+        ) * rmult
         if "termination" in scales:
             term_r = term_contact.astype(jnp.float32) * scales["termination"]
-            total = total + term_r
+            total = total + term_r * rmult
             rews["termination"] = term_contact.astype(jnp.float32)
         episode_sums = {
             k: state.episode_sums[k]

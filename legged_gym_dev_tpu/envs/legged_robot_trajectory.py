@@ -144,6 +144,9 @@ class LeggedRobotTrajectoryEnv(LeggedRobotVelocityEnv):
             terrain_levels=jnp.zeros((B,), jnp.int32),
             env_origin=(self.env_origins if self.env_origins is not None
                         else jnp.zeros((B, 3))),
+            friction=jnp.broadcast_to(self.sim.contact.friction, (B,)),
+            base_mass=jnp.zeros((B,)),
+            contact_mult=jnp.ones((B, 2)),
             traj_gen=self.traj_gen.init_state(jax.random.fold_in(key, 0), B),
             trajectory=jnp.zeros((B, self.n_traj, self.rom.n)),
             prev_error=jnp.zeros((B, self.rom.n)),
@@ -265,9 +268,8 @@ class LeggedRobotTrajectoryEnv(LeggedRobotVelocityEnv):
                 return (h, c, tau), tau
 
             carry0 = (state.sea_hidden, state.sea_cell, jnp.zeros((B, nj)))
-            robot, (sea_h, sea_c, torques) = self.sim.step_with_carry(
-                state.robot, carry0, sea_torque
-            )
+            robot, (sea_h, sea_c, torques) = self._dr_sim(state)\
+                .step_with_carry(state.robot, carry0, sea_torque)
             state = state.replace(torques=torques, sea_hidden=sea_h,
                                   sea_cell=sea_c)
         else:
@@ -275,7 +277,7 @@ class LeggedRobotTrajectoryEnv(LeggedRobotVelocityEnv):
                 tau = self._compute_torques(state, rs)
                 return tau, tau
 
-            robot, torques = self.sim.step_with_carry(
+            robot, torques = self._dr_sim(state).step_with_carry(
                 state.robot, jnp.zeros((B, nj)), pd_torque
             )
             state = state.replace(torques=torques)
@@ -289,7 +291,7 @@ class LeggedRobotTrajectoryEnv(LeggedRobotVelocityEnv):
             commands=self._rom_commands(state.commands, tg),
         )
 
-        f_contact = self._contact_forces(robot)
+        f_contact = self._contact_forces(robot, self._dr_sim(state))
         feet = jnp.asarray(self.feet_spheres, jnp.int32)
         contact = f_contact[:, feet, 2] > 1.0
         contact_filt = contact | state.last_contacts

@@ -63,6 +63,9 @@ class VelocityEnvState:
     sea_cell: jax.Array
     terrain_levels: jax.Array  # (B,) int32 terrain-curriculum rows
     env_origin: jax.Array      # (B, 3) current spawn origins
+    friction: jax.Array        # (B,) per-env Coulomb mu (friction-bucket DR)
+    base_mass: jax.Array       # (B,) payload mass added to the base (DR)
+    contact_mult: jax.Array    # (B, 2) contact stiffness/damping multipliers
 
 
 @struct.dataclass
@@ -104,6 +107,27 @@ class LeggedRobotVelocityEnv:
     max_push_vel: float = struct.field(pytree_node=False, default=1.0)
     terrain_curriculum: bool = struct.field(pytree_node=False, default=False)
     add_noise: bool = struct.field(pytree_node=False, default=True)
+    # Domain randomization (ref legged_robot_config.py domain_rand +
+    # legged_robot.py _process_rigid_shape_props / _process_rigid_body_props):
+    # per-env friction drawn from `num_friction_buckets` random bucket
+    # values in `friction_range`; per-env payload mass on the base in
+    # `added_mass_range`. The reference assigns these once at env creation;
+    # here they resample per env-reset (same marginal distribution).
+    randomize_friction: bool = struct.field(pytree_node=False, default=True)
+    friction_range: tuple = struct.field(pytree_node=False,
+                                         default=(0.5, 1.25))
+    num_friction_buckets: int = struct.field(pytree_node=False, default=64)
+    randomize_base_mass: bool = struct.field(pytree_node=False, default=False)
+    added_mass_range: tuple = struct.field(pytree_node=False,
+                                           default=(-1.0, 1.0))
+    # Rigid-shape restitution/compliance/thickness randomization (ref
+    # domain_rand.rigid_shape_properties) maps onto the compliant contact
+    # model as multiplicative per-env stiffness/damping factors (compliance
+    # ~ 1/stiffness, restitution ~ 1/damping, thickness folds into the
+    # penetration depth the spring sees).
+    randomize_contact: bool = struct.field(pytree_node=False, default=False)
+    contact_mult_range: tuple = struct.field(pytree_node=False,
+                                             default=(0.7, 1.3))
     command_curriculum: bool = struct.field(pytree_node=False, default=False)
     only_positive_rewards: bool = struct.field(pytree_node=False, default=True)
     reward_scales: tuple = struct.field(pytree_node=False, default=())
@@ -167,11 +191,13 @@ class LeggedRobotVelocityEnv:
         return jnp.clip(tau, -self.sim.model.effort_limit,
                         self.sim.model.effort_limit)
 
-    def _contact_forces(self, robot: RobotState) -> jax.Array:
-        pos, vel, _ = contact_kinematics(self.sim.model, robot)
-        return contact_forces(self.sim.contact, pos, vel,
-                              self.sim.model.contact_radius,
-                              self.sim.terrain_fn)
+    def _contact_forces(self, robot: RobotState,
+                        sim: Optional[RobotSim] = None) -> jax.Array:
+        sim = sim if sim is not None else self.sim
+        pos, vel, _ = contact_kinematics(sim.model, robot)
+        return contact_forces(sim.contact, pos, vel,
+                              sim.model.contact_radius,
+                              sim.terrain_fn)
 
     # ---- observations (ref legged_robot.py:208-227) --------------------
     def _obs(self, state: VelocityEnvState) -> jax.Array:
@@ -252,9 +278,63 @@ class LeggedRobotVelocityEnv:
             terrain_levels=jnp.zeros((B,), jnp.int32),
             env_origin=(self.env_origins if self.env_origins is not None
                         else jnp.zeros((B, 3))),
+            friction=jnp.broadcast_to(self.sim.contact.friction, (B,)),
+            base_mass=jnp.zeros((B,)),
+            contact_mult=jnp.ones((B, 2)),
         )
         state = self._do_reset(state, jnp.ones((B,), bool))
         return state, self._obs(state)
+
+    # ---- domain randomization (ref legged_robot.py:271-319) -------------
+    def _resample_dr(self, state: VelocityEnvState, mask,
+                     key: jax.Array) -> VelocityEnvState:
+        B = self.num_envs
+        friction, base_mass = state.friction, state.base_mass
+        if self.randomize_friction:
+            # Friction buckets (ref _process_rigid_shape_props): bucket
+            # values uniform in friction_range, envs assigned a bucket.
+            kv, ki = jax.random.split(jax.random.fold_in(key, 0))
+            vals = jax.random.uniform(
+                kv, (self.num_friction_buckets,),
+                minval=self.friction_range[0], maxval=self.friction_range[1])
+            ids = jax.random.randint(ki, (B,), 0, self.num_friction_buckets)
+            friction = jnp.where(mask, vals[ids], friction)
+        if self.randomize_base_mass:
+            km = jax.random.fold_in(key, 1)
+            dm = jax.random.uniform(km, (B,),
+                                    minval=self.added_mass_range[0],
+                                    maxval=self.added_mass_range[1])
+            base_mass = jnp.where(mask, dm, base_mass)
+        contact_mult = state.contact_mult
+        if self.randomize_contact:
+            kc = jax.random.fold_in(key, 2)
+            cm = jax.random.uniform(kc, (B, 2),
+                                    minval=self.contact_mult_range[0],
+                                    maxval=self.contact_mult_range[1])
+            contact_mult = _mwhere(mask, cm, contact_mult)
+        return state.replace(friction=friction, base_mass=base_mass,
+                             contact_mult=contact_mult)
+
+    def _dr_sim(self, state: VelocityEnvState) -> RobotSim:
+        """Sim with this step's per-env DR applied (friction via broadcast
+        contact params, payload mass via the scalar-graph base_mass_delta)."""
+        sim = self.sim
+        if self.randomize_friction:
+            # (B, 1, 1): broadcasts against the (B, nc, ...) contact arrays.
+            sim = sim.replace(contact=sim.contact.replace(
+                friction=state.friction[:, None, None]))
+        if self.randomize_base_mass:
+            sim = sim.replace(base_mass_delta=state.base_mass)
+        if self.randomize_contact:
+            # (B, 1): stiffness/damping multiply the (B, nc) depth/velocity
+            # terms (friction instead broadcasts against (B, nc, 3)).
+            sim = sim.replace(contact=sim.contact.replace(
+                stiffness=sim.contact.stiffness
+                * state.contact_mult[:, 0:1],
+                damping=sim.contact.damping
+                * state.contact_mult[:, 1:2],
+            ))
+        return sim
 
     def _do_reset(self, state: VelocityEnvState, mask) -> VelocityEnvState:
         B, nj = self.num_envs, self.nj
@@ -314,6 +394,7 @@ class LeggedRobotVelocityEnv:
         commands = self._resample_commands(
             state.replace(robot=robot), mask, k3
         )
+        state = self._resample_dr(state, mask, jax.random.fold_in(k2, 23))
         return state.replace(
             key=key, robot=robot, commands=commands,
             actions=_mwhere(mask, jnp.zeros((B, nj)), state.actions),
@@ -495,9 +576,8 @@ class LeggedRobotVelocityEnv:
 
             carry0 = (state.sea_hidden, state.sea_cell,
                       jnp.zeros((B, nj)))
-            robot, (sea_h, sea_c, torques) = self.sim.step_with_carry(
-                state.robot, carry0, sea_torque
-            )
+            robot, (sea_h, sea_c, torques) = self._dr_sim(state)\
+                .step_with_carry(state.robot, carry0, sea_torque)
             state = state.replace(torques=torques, sea_hidden=sea_h,
                                   sea_cell=sea_c)
         else:
@@ -505,12 +585,12 @@ class LeggedRobotVelocityEnv:
                 tau = self._compute_torques(state, rs)
                 return tau, tau
 
-            robot, torques = self.sim.step_with_carry(
+            robot, torques = self._dr_sim(state).step_with_carry(
                 state.robot, jnp.zeros((B, nj)), pd_torque
             )
             state = state.replace(torques=torques)
 
-        f_contact = self._contact_forces(robot)
+        f_contact = self._contact_forces(robot, self._dr_sim(state))
         feet = jnp.asarray(self.feet_spheres, jnp.int32)
         contact = f_contact[:, feet, 2] > 1.0
         contact_filt = contact | state.last_contacts

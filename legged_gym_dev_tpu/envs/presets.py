@@ -65,8 +65,14 @@ def make_hopper_trajectory_env(
     max_push_vel: float = 1.0,
     urdf_path: str = HOPPER_URDF,
     reward_scales=HOPPER_REWARD_SCALES,
+    curriculum: str | None = None,
 ) -> HopperTrajectoryEnv:
-    """Hopper tracking a SingleInt2D ROM (ref hopper_single_int.yaml)."""
+    """Hopper tracking a SingleInt2D ROM (ref hopper_single_int.yaml).
+
+    ``curriculum``: None (off, the config-default ``use_curriculum=False``),
+    "single_int" (the 8-stage schedule the fork trains with, ref
+    hopper_single_int.yaml:67-98) or "default" (the 3-stage config tables).
+    """
     spec = parse_urdf(urdf_path)
     model = RobotModel.from_spec(spec)
     # dt=2.5ms (policy rate unchanged at 50Hz): at the reference's 5ms the
@@ -107,9 +113,17 @@ def make_hopper_trajectory_env(
         jnp.zeros(n_t),
         jnp.zeros(4),
     ])
+    from .hopper_trajectory import CurriculumTables
+
+    cur_tables = {
+        None: None,
+        "default": CurriculumTables.default().replace(enabled=True),
+        "single_int": CurriculumTables.hopper_single_int(),
+    }[curriculum]
     return HopperTrajectoryEnv(
         sim=sim,
         traj_gen=gen,
+        curriculum=cur_tables,
         p_gains=jnp.asarray([400.0, 15.0, 15.0, 15.0]),
         d_gains=jnp.asarray([40.0, 3.0, 3.0, 3.0]),
         kd_spindown=jnp.asarray([0.1, 0.1, 0.1]),
@@ -212,6 +226,12 @@ def make_velocity_env(urdf_path: str, num_envs: int = 4096,
                       only_positive_rewards: bool = True,
                       max_contact_force: float = 100.0,
                       measure_heights: bool = False,
+                      randomize_friction: bool = True,
+                      friction_range=(0.5, 1.25),
+                      randomize_base_mass: bool = False,
+                      added_mass_range=(-1.0, 1.0),
+                      randomize_contact: bool = False,
+                      contact_mult_range=(0.7, 1.3),
                       terrain=None):
     """Velocity-command task for any URDF robot (ref legged_robot.py)."""
     from .legged_robot_velocity import (
@@ -298,6 +318,12 @@ def make_velocity_env(urdf_path: str, num_envs: int = 4096,
         terrain_types=terrain_types,
         terrain_curriculum=terrain is not None
         and terrain.type not in ("none", "plane"),
+        randomize_friction=randomize_friction,
+        friction_range=tuple(friction_range),
+        randomize_base_mass=randomize_base_mass,
+        added_mass_range=tuple(added_mass_range),
+        randomize_contact=randomize_contact,
+        contact_mult_range=tuple(contact_mult_range),
         action_scale=action_scale,
         reward_scales=tuple(reward_scales),
         feet_spheres=feet,
@@ -374,6 +400,80 @@ def make_trajectory_env(urdf_path: str, num_envs: int = 4096,
     ).replace(noise_vec=noise_vec)
 
 
+def make_hopper_velocity_env(
+    num_envs: int = 4096,
+    add_noise: bool = True,
+    domain_rand: bool = True,
+    episode_length_s: float = 20.0,
+    urdf_path: str = HOPPER_URDF,
+    reward_scales=None,
+):
+    """Velocity-command hopper (ref task `hopper_flat`,
+    flat/hopper_config.py): same physics as the trajectory hopper, commands
+    replacing the ROM window. Spring/PD numbers follow the flat config
+    (spring 7000/4, foot PD 900/60, wheels 15/3, foot setpoint 0.021)."""
+    from .hopper_velocity import (
+        HOPPER_VELOCITY_REWARD_SCALES,
+        HopperVelocityEnv,
+    )
+
+    spec = parse_urdf(urdf_path)
+    model = RobotModel.from_spec(spec)
+    sim = RobotSim.create(
+        model,
+        contact=ContactParams.create(stiffness=16000.0, damping=80.0,
+                                     friction=1.0, slip_vel=0.05),
+        dt=0.0025, decimation=8,
+    )
+    obs_scales = jnp.concatenate([
+        jnp.asarray([1.0]),               # z_pos
+        jnp.ones(4),                      # quat
+        0.5 * jnp.ones(3),                # lin vel
+        0.25 * jnp.ones(3),               # ang vel
+        0.01 * jnp.ones(3),               # wheel vel
+        jnp.asarray([0.5, 0.5, 0.25]),    # commands (lin, lin, ang scale)
+        jnp.ones(4),                      # action quat
+    ])
+    # ref flat/hopper_config.py noise block x obs scales; commands get none.
+    noise_vec = jnp.concatenate([
+        jnp.asarray([0.02]),
+        0.05 * jnp.ones(4),
+        0.1 * 0.5 * jnp.ones(3),
+        0.2 * 0.25 * jnp.ones(3),
+        1.5 * 0.01 * jnp.ones(3),
+        jnp.zeros(3),
+        jnp.zeros(4),
+    ])
+    return HopperVelocityEnv(
+        sim=sim,
+        p_gains=jnp.asarray([900.0, 15.0, 15.0, 15.0]),
+        d_gains=jnp.asarray([60.0, 3.0, 3.0, 3.0]),
+        kd_spindown=jnp.asarray([0.1, 0.1, 0.1]),
+        spring_stiffness=jnp.asarray(7000.0),
+        spring_damping=jnp.asarray(4.0),
+        spring_setpoint=jnp.asarray(0.0),
+        foot_pos_des=jnp.asarray(0.021),
+        rot_actuator=jnp.asarray(HOPPER_ROT_ACTUATOR),
+        torque_limits=jnp.asarray([25000.0, 2.1, 2.1, 2.1]),
+        wheel_speed_limit=jnp.asarray(600.0),
+        ts_ratio=jnp.asarray(6.0),
+        obs_scales=obs_scales,
+        noise_vec=noise_vec,
+        # ref flat/hopper_config.py commands.ranges.
+        command_ranges=jnp.asarray(
+            [[-0.35, 0.35], [-0.35, 0.35], [-1.0, 1.0]], jnp.float32),
+        tracking_sigma=jnp.asarray(0.25),
+        # ref flat/hopper_config.py domain_rand.max_push_vel (6-dim).
+        max_push_vel=jnp.asarray([0.25, 0.25, 0.1, 0.75, 0.75, 0.75]),
+        reward_scales=tuple(reward_scales) if reward_scales is not None
+        else HOPPER_VELOCITY_REWARD_SCALES,
+        add_noise=add_noise,
+        domain_rand=domain_rand,
+        episode_length_s=episode_length_s,
+        num_envs=num_envs,
+    )
+
+
 def make_a1_env(**kw):
     return make_velocity_env(A1_URDF, **kw)
 
@@ -398,6 +498,51 @@ def _anymal_c_kwargs(kw):
 
 def make_anymal_c_env(**kw):
     return make_velocity_env(ANYMAL_C_URDF, **_anymal_c_kwargs(kw))
+
+
+def make_anymal_b_env(**kw):
+    """ANYmal B velocity task (ref anymal_b_config.py:34-41 —
+    AnymalCRoughCfg with the anymal_b URDF and foot name `FOOT`)."""
+    return make_velocity_env(ANYMAL_B_URDF, **_anymal_c_kwargs(kw))
+
+
+def _rough_terrain(num_envs: int, num_rows: int, num_cols: int):
+    from ..utils.terrain import Terrain, TerrainCfg
+
+    return Terrain(
+        TerrainCfg(mesh_type="trimesh", num_rows=num_rows,
+                   num_cols=num_cols, curriculum=True),
+        num_robots=num_envs,
+    )
+
+
+def make_anymal_c_rough_env(num_envs: int = 4096, terrain_rows: int = 10,
+                            terrain_cols: int = 20, **kw):
+    """ANYmal C on procedural rough terrain with perceptive height scan
+    (ref task `anymal_c_rough`, anymal_c_rough_config.py: trimesh terrain,
+    measure_heights on -> 235 observations, max_contact_force 500)."""
+    kw = _anymal_c_kwargs(kw)
+    kw.setdefault("measure_heights", True)
+    kw.setdefault("max_contact_force", 500.0)
+    # ref anymal_c_rough_config.py domain_rand: base-mass payload +-5 kg.
+    kw.setdefault("randomize_base_mass", True)
+    kw.setdefault("added_mass_range", (-5.0, 5.0))
+    kw.setdefault("terrain", _rough_terrain(num_envs, terrain_rows,
+                                            terrain_cols))
+    return make_velocity_env(ANYMAL_C_URDF, num_envs=num_envs, **kw)
+
+
+def make_anymal_c_rough_trajectory_env(num_envs: int = 4096,
+                                       terrain_rows: int = 10,
+                                       terrain_cols: int = 20, **kw):
+    """ANYmal C trajectory tracking on rough terrain (ref task
+    `anymal_c_rough_trajectory`, mixed_terrains_trajectory config)."""
+    kw = _anymal_c_kwargs(kw)
+    kw.setdefault("measure_heights", True)
+    kw.setdefault("max_contact_force", 500.0)
+    kw.setdefault("terrain", _rough_terrain(num_envs, terrain_rows,
+                                            terrain_cols))
+    return make_trajectory_env(ANYMAL_C_URDF, num_envs=num_envs, **kw)
 
 
 def make_anymal_c_trajectory_env(**kw):
@@ -487,3 +632,11 @@ task_registry.register("anymal_c_trajectory", make_anymal_c_trajectory_env,
 task_registry.register("a1_trajectory", make_a1_trajectory_env, PPOConfig())
 task_registry.register("anymal_c_lstm", make_anymal_c_lstm_env, PPOConfig())
 task_registry.register("cassie_velocity", make_cassie_env, PPOConfig())
+task_registry.register("hopper_velocity", make_hopper_velocity_env,
+                       HOPPER_PPO)
+task_registry.register("anymal_b_velocity", make_anymal_b_env, PPOConfig())
+task_registry.register("anymal_c_rough", make_anymal_c_rough_env,
+                       PPOConfig())
+task_registry.register("anymal_c_rough_trajectory",
+                       make_anymal_c_rough_trajectory_env, PPOConfig())
+task_registry.register("adam_velocity", make_adam_env, PPOConfig())

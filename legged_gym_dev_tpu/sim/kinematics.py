@@ -277,27 +277,38 @@ def _com_chain(model, chain: ChainLM):
     return cs, acs, Iws
 
 
-def _assemble_M(model, chain, cs, Iws):
+def _assemble_M(model, chain, cs, Iws, base_mass_delta=None):
     """Mass matrix as nv x nv nested list of (B,)/float entries.
 
     M = sum_n m_n Jp_n^T Jp_n + Jr_n^T I_n Jr_n with structural zeros
     skipped; base-translation columns handled symbolically (Jp[:, :3] = I,
     Jr[:, :3] = 0).
+
+    ``base_mass_delta``: optional (B,) payload mass added to the base body
+    (domain randomization, ref legged_robot.py _process_rigid_body_props:
+    props[0].mass += rand). Point-mass payload at the base origin: inertia
+    unchanged, exactly like the reference.
     """
     nv = 6 + model.nj
     mass_np = np.asarray(model.mass)
     M = [[0.0] * nv for _ in range(nv)]
     total_mass = float(mass_np.sum())
+    if base_mass_delta is not None:
+        total_mass = total_mass + base_mass_delta
     for i in range(3):
         M[i][i] = M[i][i] + total_mass
 
     for n in range(model.nb):
         m_n = float(mass_np[n])
+        if n == 0 and base_mass_delta is not None:
+            m_n = m_n + base_mass_delta
         jp = _point_jac_cols(model, chain, n, cs[n])
         jr = _rot_jac_cols(model, chain, n)
         dofs = sorted(jp.keys())
         # Cross terms with base translation: M[i][k] += m_n * jp[k][i].
-        if m_n:
+        # (Structural-zero check on the NOMINAL mass: a randomized payload
+        # never turns a zero-mass body massive.)
+        if not (isinstance(m_n, float) and m_n == 0.0):
             for k in dofs:
                 col = jp[k]
                 for i in range(3):
@@ -322,7 +333,7 @@ def _assemble_M(model, chain, cs, Iws):
     return M
 
 
-def _assemble_bias(model, chain, cs, acs, Iws):
+def _assemble_bias(model, chain, cs, acs, Iws, base_mass_delta=None):
     """Generalized bias c(q, v) = sum_n Jp^T m(a_c - g) + Jr^T (I dw + w x I w)
     as an nv list of (B,) entries (gravity folded in)."""
     nv = 6 + model.nj
@@ -331,6 +342,8 @@ def _assemble_bias(model, chain, cs, acs, Iws):
     out = [0.0] * nv
     for n in range(model.nb):
         m_n = float(mass_np[n])
+        if n == 0 and base_mass_delta is not None:
+            m_n = m_n + base_mass_delta
         f = [m_n * (acs[n][i] - g[i]) for i in range(3)]
         Iw, w, dw = Iws[n], chain.w[n], chain.dw[n]
         tq = _vadd(_mv(Iw, dw), _vcross(w, _mv(Iw, w)))
@@ -406,13 +419,14 @@ def _bcast(cols, B):
     return jnp.stack(arrs, axis=-1)
 
 
-def mass_matrix(model: RobotModel, state: RobotState) -> jax.Array:
+def mass_matrix(model: RobotModel, state: RobotState,
+                base_mass_delta=None) -> jax.Array:
     """Batched M(q): (B, nv, nv)."""
     B = state.base_pos.shape[0]
     p0, quat, q, v = _state_lm(state)
     chain = fk_chain_lm(model, p0, quat, q, v)
     cs, _, Iws = _com_chain(model, chain)
-    M = _assemble_M(model, chain, cs, Iws)
+    M = _assemble_M(model, chain, cs, Iws, base_mass_delta)
     return jnp.stack([_bcast(row, B) for row in M], axis=-2)
 
 
@@ -465,7 +479,7 @@ def dynamics_terms(model: RobotModel, state: RobotState):
 
 
 def substep_core(model: RobotModel, state: RobotState, tau: jax.Array,
-                 contact_force_fn) -> jax.Array:
+                 contact_force_fn, base_mass_delta=None) -> jax.Array:
     """The fused hot path: qdd (B, nv) from one scalar-graph pass.
 
     contact_force_fn(pos (B,nc,3), vel (B,nc,3)) -> forces (B,nc,3) — the
@@ -477,8 +491,8 @@ def substep_core(model: RobotModel, state: RobotState, tau: jax.Array,
     p0, quat, q, v = _state_lm(state)
     chain = fk_chain_lm(model, p0, quat, q, v)
     cs, acs, Iws = _com_chain(model, chain)
-    M = _assemble_M(model, chain, cs, Iws)
-    bias = _assemble_bias(model, chain, cs, acs, Iws)
+    M = _assemble_M(model, chain, cs, Iws, base_mass_delta)
+    bias = _assemble_bias(model, chain, cs, acs, Iws, base_mass_delta)
 
     # Contact forces through the (batch-major) terrain model.
     pos, vel = _contact_points_lm(model, chain)

@@ -46,6 +46,12 @@ class RobotSim:
     model: RobotModel
     contact: ContactParams
     springs: JointSprings
+    # Optional per-env payload mass on the base body (B,) — domain
+    # randomization (ref legged_robot.py _process_rigid_body_props). Envs
+    # thread per-reset values via ``sim.replace(base_mass_delta=...)``;
+    # per-env friction rides the same way through ``contact.friction``
+    # shaped (B, 1, 1).
+    base_mass_delta: Optional[jax.Array] = None
     dt: float = struct.field(pytree_node=False, default=0.005)
     decimation: int = struct.field(pytree_node=False, default=4)
     terrain_fn: Callable = struct.field(pytree_node=False,
@@ -108,6 +114,7 @@ class RobotSim:
             lambda pos, vel: contact_forces(
                 self.contact, pos, vel, self.model.contact_radius,
                 self.terrain_fn),
+            base_mass_delta=self.base_mass_delta,
         )
         new = integrate(self.model, state, qdd, self.dt)
         # Joint velocity caps enforced by clamping (PhysX enforces URDF
