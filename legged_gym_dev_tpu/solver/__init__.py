@@ -13,8 +13,18 @@ from .trajopt import (
     unpack_x,
 )
 from .tube_dynamics import get_tube_dynamics
+from .debug import (
+    compute_constraint_violation,
+    generate_col_names,
+    segment_constraint_violation,
+    trace_to_csv,
+)
 
 __all__ = [
+    "compute_constraint_violation",
+    "generate_col_names",
+    "segment_constraint_violation",
+    "trace_to_csv",
     "ALConfig",
     "ALSolution",
     "solve_al",

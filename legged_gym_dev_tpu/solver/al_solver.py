@@ -101,10 +101,16 @@ def solve_al(
     lam0: Optional[jax.Array] = None,
     mu0: Optional[jax.Array] = None,
     rho_init: Optional[jax.Array] = None,
+    return_trace: bool = False,
 ) -> ALSolution:
     """Solve one NLP instance; vmap over (x0, p, lb, ub[, lam0, mu0]) to batch.
 
     min_x 0.5||r(x,p)||^2  s.t.  h(x,p)=0,  g(x,p)>=0,  lb<=x<=ub.
+
+    With ``return_trace=True`` also returns a dict of per-outer-iteration
+    stats (viol / grad_norm / rho / obj / converged), each (outer_iters,) —
+    the counterpart of the reference's per-iteration solver CSV
+    (ref tube_trajopt.py SolverCallback:588-657); see solver.debug.
 
     Traced under full-f32 matmul precision: TPU's default bf16 matmul passes
     destroy the Jacobian-product accuracy this solver's feasibility targets
@@ -112,11 +118,11 @@ def solve_al(
     """
     with jax.default_matmul_precision("highest"):
         return _solve_al_impl(r_fn, h_fn, g_fn, x0, p, lb, ub, cfg, lam0,
-                              mu0, rho_init)
+                              mu0, rho_init, return_trace)
 
 
 def _solve_al_impl(r_fn, h_fn, g_fn, x0, p, lb, ub, cfg, lam0, mu0,
-                   rho_init) -> ALSolution:
+                   rho_init, return_trace=False) -> ALSolution:
     D = x0.shape[0]
     h0 = h_fn(x0, p)
     g0 = g_fn(x0, p)
@@ -259,9 +265,19 @@ def _solve_al_impl(r_fn, h_fn, g_fn, x0, p, lb, ub, cfg, lam0, mu0,
         now_conv = (viol < cfg.tol_feas) & (gnorm < cfg.tol_grad * obj_scale)
         outer_used = jnp.where(converged, outer_used, outer_used + 1)
         converged = converged | now_conv
+        # Per-outer-iteration stats (the reference's IPOPT iteration log /
+        # SolverCallback CSV, ref tube_trajopt.py:588-657); tiny (O(outer)
+        # scalars), stacked by scan and surfaced via return_trace.
+        stats = {
+            "viol": viol,
+            "grad_norm": gnorm,
+            "rho": rho_new,
+            "obj": 0.5 * jnp.sum(r * r),
+            "converged": converged,
+        }
         return (
             (x_new, lam_new, mu_new, rho_new, viol, converged, outer_used),
-            None,
+            stats,
         )
 
     init = (
@@ -269,7 +285,7 @@ def _solve_al_impl(r_fn, h_fn, g_fn, x0, p, lb, ub, cfg, lam0, mu0,
         jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(False),
         jnp.asarray(0, jnp.int32),
     )
-    (x, lam, mu, rho, viol, converged, outer_used), _ = jax.lax.scan(
+    (x, lam, mu, rho, viol, converged, outer_used), trace = jax.lax.scan(
         outer_body, init, None, length=cfg.outer_iters
     )
 
@@ -280,12 +296,15 @@ def _solve_al_impl(r_fn, h_fn, g_fn, x0, p, lb, ub, cfg, lam0, mu0,
         - (jac_g(x, p).T @ mu if I > 0 else 0.0)
     )
     pg = x - jnp.clip(x - grad_L, lb, ub)
-    return ALSolution(
+    sol = ALSolution(
         x=x, lam=lam, mu=mu, viol=viol,
         grad_norm=jnp.max(jnp.abs(pg)),
         obj=0.5 * jnp.sum(r * r),
         rho=rho, converged=converged, outer_used=outer_used,
     )
+    if return_trace:
+        return sol, trace
+    return sol
 
 
 def solve_al_batched(r_fn, h_fn, g_fn, x0, p, lb, ub, cfg: ALConfig = ALConfig(),

@@ -261,8 +261,10 @@ def solve_tube(p: TrajOptParams, tube_fn: Callable, N: int, H_rev: int,
                cfg: ALConfig = ALConfig(), warm_start: str = "start",
                nominal_ws: str = "interpolate", tube_ws="evaluate",
                track_warm: bool = False, x_init=None,
-               lam0=None, mu0=None) -> TrajOptSolution:
-    """Tube trajectory optimization (ref :459-486).
+               lam0=None, mu0=None, return_trace: bool = False):
+    """Tube trajectory optimization (ref :459-486). Returns TrajOptSolution
+    (plus the per-iteration trace dict when ``return_trace``, see
+    solver.debug.trace_to_csv).
 
     ``track_warm`` switches the objective to track the warm-start trajectory
     instead of the goal point (ref :463-464, 208-214).
@@ -279,10 +281,12 @@ def solve_tube(p: TrajOptParams, tube_fn: Callable, N: int, H_rev: int,
         n, m, N, with_tube=True, tube_fn=tube_fn, track_ref=track_warm
     )
     lb, ub = make_bounds(p, N, with_w=True)
-    sol = solve_al(r_fn, h_fn, g_fn, x_init, p, lb, ub, cfg,
-                   lam0=lam0, mu0=mu0)
+    out = solve_al(r_fn, h_fn, g_fn, x_init, p, lb, ub, cfg,
+                   lam0=lam0, mu0=mu0, return_trace=return_trace)
+    sol, trace = out if return_trace else (out, None)
     z, v, w = unpack_x(sol.x, N, n, m, True)
-    return TrajOptSolution(z=z, v=v, w=w, sol=sol)
+    res = TrajOptSolution(z=z, v=v, w=w, sol=sol)
+    return (res, trace) if return_trace else res
 
 
 def solve_tube_batched(p_batch: TrajOptParams, tube_fn, N, H_rev,
