@@ -130,6 +130,9 @@ def cmd_play(args):
     if args.plot:
         logger.plot_states(args.plot)
         print(f"dashboard saved: {args.plot}")
+    if args.mat:
+        logger.save_mat(args.mat)
+        print(f"state log saved: {args.mat}")
 
 
 def cmd_collect(args):
@@ -391,6 +394,8 @@ def build_parser():
     pl.add_argument("--log-root", default="logs")
     pl.add_argument("--export", default="")
     pl.add_argument("--plot", default="")
+    pl.add_argument("--mat", default="",
+                    help=".mat state-log export (ref play.py:202-212)")
     pl.set_defaults(fn=cmd_play)
 
     c = sub.add_parser("collect")

@@ -8,6 +8,7 @@ Also prints per-term mean episode rewards (ref :128-133).
 """
 from __future__ import annotations
 
+import os
 from collections import defaultdict
 from typing import Dict, Optional
 
@@ -38,6 +39,18 @@ class Logger:
         self.state_log.clear()
         self.rew_log.clear()
         self.num_episodes = 0
+
+    def save_mat(self, path: str) -> str:
+        """Export the accumulated state log as a MATLAB .mat file (ref
+        scripts/play.py:202-212 savemat of logger states for the MATLAB
+        analysis scripts)."""
+        from scipy.io import savemat
+
+        payload = {k: np.stack(v) for k, v in self.state_log.items()}
+        payload["dt"] = self.dt
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        savemat(path, payload)
+        return path
 
     def plot_states(self, path: Optional[str] = None):
         """3x3 dashboard (ref logger.py:61-126); returns the figure."""
