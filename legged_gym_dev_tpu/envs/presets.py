@@ -7,6 +7,8 @@ explicit factory with the same numbers, registered in the task registry.
 """
 from __future__ import annotations
 
+import dataclasses
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -335,20 +337,45 @@ def make_velocity_env(urdf_path: str, num_envs: int = 4096,
     )
 
 
+@dataclasses.dataclass
+class RewardWeighting:
+    """Per-dim tracking-reward weights consumed by each ROM's
+    ``weighting_vector`` (ref legged_robot_trajectory_config.py
+    reward_weighting block)."""
+
+    position: float = 1.0
+    velocity: float = 1.0
+    orientation: float = 1.0
+    angular_velocity: float = 1.0
+
+
 def make_trajectory_env(urdf_path: str, num_envs: int = 4096,
                         rom_dt: float = 0.1, vel_max: float = 0.35,
+                        rom_cls: str = "SingleInt2D",
+                        rom_z_min=None, rom_z_max=None,
+                        rom_v_min=None, rom_v_max=None,
+                        reward_weighting: RewardWeighting | None = None,
                         n_traj: int = 10, dn_traj: int = 1,
                         t_low: float = 1.0, t_high: float = 2.0,
-                        max_rom_distance=(0.1, 0.1),
+                        max_rom_distance=None,
                         zero_rom_dist_llh: float = 0.25,
                         reward_scales=None,
                         **kw):
     """Trajectory-tracking task for any URDF robot: the velocity env's
-    machinery with commands replaced by a rolling SingleInt2D ROM window
+    machinery with commands replaced by a rolling ROM window
     (ref legged_robot_trajectory.py + legged_robot_trajectory_config.py:
     71-100 rom/trajectory_generator blocks; anymal_c flat/rough trajectory
-    configs)."""
+    configs).
+
+    ``rom_cls`` selects any of the six ROMs by name (the reference's
+    config-string lookup ``globals()[rom_cfg.cls]``, here the explicit
+    registry); bounds default to unbounded positions and ±vel_max inputs
+    (the config defaults), overridable per dim."""
+    from ..core.rom import ROM_REGISTRY
     from .legged_robot_trajectory import LeggedRobotTrajectoryEnv
+
+    rom_type = ROM_REGISTRY[rom_cls]
+    rn, rm = rom_type.n, rom_type.m
 
     if reward_scales is None:
         # ANYmal flat-trajectory set (ref anymal_c_flat_trajectory_config
@@ -368,15 +395,21 @@ def make_trajectory_env(urdf_path: str, num_envs: int = 4096,
         urdf_path, num_envs=num_envs, reward_scales=reward_scales,
         only_positive_rewards=kw.pop("only_positive_rewards", False), **kw
     )
-    rom = SingleInt2D.create(
-        rom_dt, [-1e9, -1e9], [1e9, 1e9],
-        [-vel_max, -vel_max], [vel_max, vel_max],
+    rom = make_rom(
+        rom_cls, rom_dt,
+        rom_z_min if rom_z_min is not None else [-1e9] * rn,
+        rom_z_max if rom_z_max is not None else [1e9] * rn,
+        rom_v_min if rom_v_min is not None else [-vel_max] * rm,
+        rom_v_max if rom_v_max is not None else [vel_max] * rm,
     )
     gen = TrajectoryGenerator.create(
         rom, UniformSampleHoldDT.create(t_low, t_high),
         UniformWeightSampler(),
         dt_loop=base.dt, N=n_traj, dN=dn_traj, prob_stationary=0.01,
     )
+    weighting = rom.weighting_vector(reward_weighting or RewardWeighting())
+    if max_rom_distance is None:
+        max_rom_distance = (0.1,) * rn
     nj = base.nj
     # ref trajectory noise vector: velocity blocks as the velocity task,
     # zeros over the trajectory window and actions.
@@ -394,7 +427,7 @@ def make_trajectory_env(urdf_path: str, num_envs: int = 4096,
         **{f.name: getattr(base, f.name)
            for f in base.__dataclass_fields__.values()},
         traj_gen=gen,
-        reward_weighting=jnp.asarray([1.0, 1.0]),
+        reward_weighting=weighting,
         max_rom_distance=jnp.asarray(max_rom_distance, jnp.float32),
         zero_rom_dist_llh=jnp.asarray(zero_rom_dist_llh, jnp.float32),
     ).replace(noise_vec=noise_vec)

@@ -167,6 +167,30 @@ def test_domain_randomization_off_is_nominal():
     assert sim.contact.friction.ndim == 0
 
 
+def test_trajectory_env_alternate_roms():
+    """Config-selected ROM class (ref legged_robot_trajectory.py:90-123
+    globals()[rom_cfg.cls]): the trajectory task runs on any of the six
+    ROMs with per-ROM tracking weights (ref rom_dynamics
+    get_weighting_vector)."""
+    from legged_gym_dev_tpu.envs.presets import (
+        A1_URDF,
+        RewardWeighting,
+        make_trajectory_env,
+    )
+
+    env = make_trajectory_env(
+        A1_URDF, num_envs=2, rom_cls="DoubleInt2D",
+        reward_weighting=RewardWeighting(position=1.0, velocity=0.5))
+    assert env.rom.n == 4
+    # DoubleInt2D weighting = [pos, pos, vel, vel] (ref :257-260).
+    assert list(jnp.round(env.reward_weighting, 3)) == [1.0, 1.0, 0.5, 0.5]
+    # 48 - 3 commands + 4*10 window = 85.
+    assert env.num_obs == 85
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    state, tr = jax.jit(env.step)(state, jnp.zeros((2, 12)))
+    assert bool(jnp.all(jnp.isfinite(tr.obs)))
+
+
 def test_adam_requires_urdf():
     # The reference checkout ships no adam URDF; the preset must say so.
     with pytest.raises(FileNotFoundError):
