@@ -739,8 +739,11 @@ def solve_staged_scalar(sp, p, u0, lb_u, ub_u, cfg: ALConfig = ALConfig(),
             gn = jnp.maximum(gn, jnp.max(jnp.abs(pg)))
         return gn
 
-    def inner_step(u_e, lam, mu, rho):
-        merit = _merit_e(sp, u_e, p, lam, mu, rho)
+    def inner_step(u_e, merit, lam, mu, rho):
+        # `merit` is carried through the inner scan: it equals
+        # _merit_e(u_e) exactly (the selected line-search candidate's value,
+        # or unchanged on a failed search), saving one standalone merit
+        # evaluation per inner iteration.
         grad_e, D_e, L_e = _assemble_e(sp, u_e, p, lam, mu, rho)
 
         fm = []
@@ -793,20 +796,25 @@ def solve_staged_scalar(sp, p, u0, lb_u, ub_u, cfg: ALConfig = ALConfig(),
         any_ok = jnp.any(ok)
         u_new = tuple(jnp.where(any_ok, u_try[i][idx], u_e[i])
                       for i in range(b))
-        return u_new, pg_norm(u_e, grad_e)
+        merit_new = jnp.where(any_ok, m_trys[idx], merit)
+        return u_new, merit_new, pg_norm(u_e, grad_e)
 
     def outer_body(carry, _):
         u_e, lam, mu, rho, prev_viol, converged, outer_used = carry
 
         def inner_body(carry2, _):
-            u2, frozen = carry2
-            u3, gnorm = inner_step(u2, lam, mu, rho)
+            u2, m2, frozen = carry2
+            u3, m3, gnorm = inner_step(u2, m2, lam, mu, rho)
             frozen2 = frozen | (gnorm < cfg.tol_grad * 0.1)
             u4 = tuple(jnp.where(frozen, u2[i], u3[i]) for i in range(b))
-            return (u4, frozen2), None
+            m4 = jnp.where(frozen, m2, m3)
+            return (u4, m4, frozen2), None
 
-        (u_new, _), _ = jax.lax.scan(
-            inner_body, (u_e, jnp.asarray(False)), None,
+        # One merit eval per outer seeds the carried value (multipliers and
+        # penalty change only at outer boundaries).
+        merit0 = _merit_e(sp, u_e, p, lam, mu, rho)
+        (u_new, _, _), _ = jax.lax.scan(
+            inner_body, (u_e, merit0, jnp.asarray(False)), None,
             length=cfg.inner_iters)
         u_new = tuple(jnp.where(converged, u_e[i], u_new[i])
                       for i in range(b))
