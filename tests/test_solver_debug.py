@@ -86,6 +86,47 @@ def test_violation_segmentation_and_trace(problem, tmp_path):
     assert len(rows) == 1 + cfg.outer_iters
 
 
+# Per-problem tube settings: the `right` corridor is tight (clearance
+# 0.125 between the straight path and the lower obstacle) — the l1 tube's
+# steady-state width at vel_max=1 exceeds it, and the first-order AL stalls
+# at ~1e-2 on the resulting tube-dynamics equality (docs/PERF.md "penalty
+# sweeps"); the quadratic l2 tube solves it to <1e-5.
+# goal_tol: the gap problem's goal is 1.7 m away at vel_max 0.2 — N=50
+# covers at most 1.0 m, so the optimum approaches rather than reaches it
+# (the goal is a tracking objective, not a constraint).
+@pytest.mark.parametrize("name,tube,N,goal_tol", [
+    ("gap", "l1", 50, 0.8),
+    ("right", "l2", 50, 0.2),
+    ("right_wide", "l2", 50, 0.2),
+])
+def test_problem_library_all_solve(name, tube, N, goal_tol):
+    """Every problem in the library (ref tube_trajopt.py:11-21
+    problem_dict) solves feasibly with the tube solver."""
+    prob = PROBLEM_DICT[name]
+    pm = make_rom(
+        "SingleInt2D", prob["dt"],
+        [-prob["pos_max"]] * 2, [prob["pos_max"]] * 2,
+        [-prob["vel_max"]] * 2, [prob["vel_max"]] * 2,
+    )
+    p = TrajOptParams.create(
+        pm, N, 4, 10 * np.eye(2), 10 * np.eye(2),
+        prob["start"], prob["goal"], prob["obs"]["c"], prob["obs"]["r"],
+        Qw=0.0, w_max=1.0,
+    )
+    tube_fn = get_tube_dynamics(tube, N, scaling=0.25 if tube == "l2"
+                                else 0.5)
+    sol = solve_tube(p, tube_fn, N, 4, cfg=ALConfig(),
+                     warm_start="interpolate", tube_ws="evaluate")
+    assert float(sol.sol.viol) < 1e-3, name
+    # Endpoint approaches the goal and obstacles (tube-inflated) respected.
+    assert float(np.linalg.norm(np.asarray(sol.z[-1])
+                                - prob["goal"])) < goal_tol, name
+    d = np.linalg.norm(
+        np.asarray(sol.z)[:, None, :] - prob["obs"]["c"][None], axis=-1)
+    margin = d - (prob["obs"]["r"][None] + np.asarray(sol.w)[:, None])
+    assert margin.min() > -1e-3, name
+
+
 def test_infeasible_point_is_segmented(problem):
     p, tube_fn = problem
     # A straight line through the obstacles with zero tube width: obstacle
