@@ -65,9 +65,15 @@ def cmd_train(args):
         num_actions=env.num_actions,
         actor_hidden_dims=(128, 64, 32), critic_hidden_dims=(128, 64, 32),
     )
+    mesh = None
+    if args.dp_devices:
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.dp_devices)
     runner = task_registry.make_alg_runner(
         env, args.task, log_root=args.log_root, run_name=args.run_name,
         seed=args.seed, resume=args.resume, load_run=args.load, model=model,
+        mesh=mesh,
     )
     hist = runner.learn(args.max_iterations)
     print(json.dumps({"final": hist[-1]}))
@@ -382,6 +388,9 @@ def build_parser():
     t.add_argument("--run-name", default="")
     t.add_argument("--resume", action="store_true")
     t.add_argument("--load", default="latest")
+    t.add_argument("--dp-devices", type=int, default=0,
+                   help="data-parallel training over an N-device mesh "
+                        "(envs sharded, params replicated)")
     t.set_defaults(fn=cmd_train)
 
     pl = sub.add_parser("play")

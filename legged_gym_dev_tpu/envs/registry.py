@@ -53,7 +53,7 @@ class TaskRegistry:
                         run_name: str = "", seed: int = 0,
                         resume: bool = False, load_run: str = "latest",
                         load_dir: str = "", model=None,
-                        metrics_callback=None) -> OnPolicyRunner:
+                        metrics_callback=None, mesh=None) -> OnPolicyRunner:
         """Build the PPO runner with the reference's log-dir layout
         (ref task_registry.py:105-156). ``resume`` restores ``load_run``
         from ``load_dir`` (or the most recent run under the task's log
@@ -87,7 +87,7 @@ class TaskRegistry:
                 model = load_model_arch(load_dir)
         runner = OnPolicyRunner(
             env, model=model, cfg=entry.train_cfg, log_dir=log_dir,
-            seed=seed, metrics_callback=metrics_callback,
+            seed=seed, metrics_callback=metrics_callback, mesh=mesh,
             **entry.runner_kwargs
         )
         if resume:

@@ -98,7 +98,8 @@ class OnPolicyRunner:
     def __init__(self, env, model: Optional[ActorCritic] = None,
                  cfg: PPOConfig = PPOConfig(), log_dir: Optional[str] = None,
                  seed: int = 0,
-                 metrics_callback: Optional[Callable[[Dict], None]] = None):
+                 metrics_callback: Optional[Callable[[Dict], None]] = None,
+                 mesh=None):
         self.env = env
         self.cfg = cfg
         self.model = model or ActorCritic(num_actions=env.num_actions)
@@ -130,6 +131,21 @@ class OnPolicyRunner:
             )
             self.carry = None
             self._learn = make_learn_iteration(env, self.model, cfg)
+        if mesh is not None:
+            # Data-parallel training over the device mesh (the reference's
+            # dead --horovod flag, done properly): env state sharded on the
+            # batch axis, parameters replicated — XLA inserts the gradient
+            # all-reduce over ICI (SURVEY §2.2 / §7.6).
+            from ..parallel.mesh import replicate, shard_batch
+
+            assert env.num_envs % mesh.devices.size == 0, (
+                f"num_envs={env.num_envs} not divisible by mesh size "
+                f"{mesh.devices.size}")
+            self.env_state = shard_batch(self.env_state, mesh)
+            self.train_state = replicate(self.train_state, mesh)
+            if self.carry is not None:
+                self.carry = shard_batch(self.carry, mesh)
+        self.mesh = mesh
         self.log_dir = log_dir
         self.ckpt = CheckpointManager(log_dir) if log_dir else None
         if log_dir:

@@ -96,3 +96,32 @@ def test_sharded_env_rollout(mesh):
 
     state2, rews = roll(state)
     assert np.all(np.isfinite(np.asarray(rews)))
+
+
+def test_runner_with_mesh(mesh, tmp_path):
+    """OnPolicyRunner trains dp-sharded over the mesh (the reference's dead
+    --horovod flag done properly): env state sharded, params replicated,
+    metrics finite, and the trained params stay replicated."""
+    from legged_gym_dev_tpu.envs import task_registry
+    from legged_gym_dev_tpu.rl import ActorCritic, PPOConfig
+
+    env = task_registry.make_env("rom_tracking", num_envs=2 * N_DEV,
+                                 episode_length_s=1.0)
+    model = ActorCritic(num_actions=2, actor_hidden_dims=(16,),
+                        critic_hidden_dims=(16,))
+    from legged_gym_dev_tpu.rl.runner import OnPolicyRunner
+
+    runner = OnPolicyRunner(
+        env, model=model,
+        cfg=PPOConfig(num_steps=4, num_mini_batches=2,
+                      num_learning_epochs=1),
+        log_dir=str(tmp_path / "run"), mesh=mesh,
+    )
+    hist = runner.learn(2, save_interval=100)
+    assert len(hist) == 2
+    assert np.isfinite(hist[-1]["loss"])
+    # env state sharded over dp, params replicated.
+    leaf = jax.tree_util.tree_leaves(runner.env_state)[0]
+    assert len(leaf.sharding.device_set) == N_DEV
+    p_leaf = jax.tree_util.tree_leaves(runner.train_state.params)[0]
+    assert p_leaf.sharding.is_fully_replicated
