@@ -141,6 +141,7 @@ class HopperEnvState:
     last_dof_vel: jax.Array      # (B, 4)
     torques: jax.Array           # (B, 4) last applied torques
     prev_error: jax.Array        # (B, 2) squared tracking error
+    time_until_next_push: jax.Array  # (B,) seconds
     episode_step: jax.Array      # (B,)
     episode_sums: Dict[str, jax.Array]
     dr: HopperDR
@@ -180,8 +181,14 @@ class HopperTrajectoryEnv:
     add_noise: bool = struct.field(pytree_node=False, default=True)
     domain_rand: bool = struct.field(pytree_node=False, default=True)
     episode_length_s: float = struct.field(pytree_node=False, default=20.0)
-    push_interval_s: float = struct.field(pytree_node=False, default=15.0)
-    max_push_vel: float = struct.field(pytree_node=False, default=1.0)
+    # Pushes SET the 6-dim base velocity on per-env random timers (ref
+    # hopper_trajectory.py:153-167, _push_robots:362-372;
+    # legged_robot_trajectory_config.py:150-152).
+    push_robots: bool = struct.field(pytree_node=False, default=True)
+    max_push_vel: tuple = struct.field(
+        pytree_node=False, default=(0.25, 0.25, 0.25, 0.75, 0.75, 0.75))
+    time_between_pushes: tuple = struct.field(pytree_node=False,
+                                              default=(0.5, 10.0))
     # Contact sphere indices (from URDF order: torso, foot, wheels).
     foot_sphere: int = struct.field(pytree_node=False, default=1)
     termination_spheres: tuple = struct.field(pytree_node=False,
@@ -387,6 +394,7 @@ class HopperTrajectoryEnv:
             last_dof_vel=jnp.zeros((B, 4)),
             torques=jnp.zeros((B, 4)),
             prev_error=jnp.zeros((B, 2)),
+            time_until_next_push=jnp.zeros((B,)),
             episode_step=jnp.zeros((B,), jnp.int32),
             episode_sums={name: jnp.zeros((B,))
                           for name, _ in self.reward_scales},
@@ -407,6 +415,13 @@ class HopperTrajectoryEnv:
         tg = self._traj_gen_cur(state).reset(state.traj_gen, mask, p_zx)
         B = self.num_envs
         zero_action = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (B, 1))
+        push_t = self._cur(state, self.curriculum.push_time) \
+            if self.curriculum is not None else 1.0
+        first_push = jax.random.uniform(
+            jax.random.fold_in(key, 7), (B,),
+            minval=self.time_between_pushes[0] * push_t,
+            maxval=self.time_between_pushes[1] * push_t,
+        )
         return state.replace(
             key=key,
             robot=robot,
@@ -416,6 +431,8 @@ class HopperTrajectoryEnv:
             last_actions=_mwhere(mask, zero_action, state.last_actions),
             last_dof_vel=_mwhere(mask, jnp.zeros((B, 4)), state.last_dof_vel),
             prev_error=_mwhere(mask, jnp.zeros((B, 2)), state.prev_error),
+            time_until_next_push=jnp.where(mask, first_push,
+                                           state.time_until_next_push),
             episode_step=jnp.where(mask, 0, state.episode_step),
             episode_sums={k: jnp.where(mask, 0.0, v)
                           for k, v in state.episode_sums.items()},
@@ -453,6 +470,52 @@ class HopperTrajectoryEnv:
         return gen
 
     # ---- rewards --------------------------------------------------------
+    def _common_rewards(self, state, robot: RobotState, actions, torques,
+                        term_contact, names) -> Dict[str, jax.Array]:
+        """Hopper reward terms shared by the trajectory and velocity tasks
+        (ref hopper.py:448-458 overrides + base terms)."""
+        out = {}
+        for name in names:
+            if name == "orientation":
+                # Penalize non-upright base (projected gravity xy).
+                R = quat_to_rotmat(robot.base_quat)
+                g_body = R[:, 2, :2]  # world-z in body frame, xy components
+                out[name] = jnp.sum(jnp.square(g_body), axis=-1)
+            elif name == "ang_vel_xy":
+                out[name] = jnp.sum(jnp.square(robot.v[:, 3:5]), axis=-1)
+            elif name == "lin_vel_z":
+                out[name] = jnp.square(robot.v[:, 2])
+            elif name == "torques":
+                out[name] = jnp.sum(jnp.square(torques), axis=-1)
+            elif name == "torque_limits":
+                # ref hopper.py:448-450: sum |tau| over the wheel joints.
+                out[name] = jnp.sum(jnp.abs(torques[:, 1:]), axis=-1)
+            elif name == "dof_acc":
+                # WHEEL joints only (ref hopper.py:452-454 — the spring
+                # foot's touchdown deceleration would swamp the term).
+                out[name] = jnp.sum(
+                    jnp.square(
+                        (robot.v[:, 7:10] - state.last_dof_vel[:, 1:])
+                        / self.dt
+                    ),
+                    axis=-1,
+                )
+            elif name == "action_rate":
+                out[name] = jnp.sum(
+                    jnp.square(actions - state.last_actions), axis=-1
+                )
+            elif name == "unit_quat":
+                out[name] = jnp.square(
+                    1.0 - jnp.linalg.norm(actions, axis=-1)
+                )
+            elif name == "collision":
+                out[name] = term_contact.astype(jnp.float32)
+            elif name == "termination":
+                out[name] = jnp.zeros(self.num_envs)  # filled in step
+            else:
+                raise ValueError(f"unknown reward term {name}")
+        return out
+
     def _rewards(self, state: HopperEnvState, robot: RobotState,
                  actions, torques, term_contact) -> Dict[str, jax.Array]:
         desired = state.trajectory[:, 0, :]
@@ -463,6 +526,7 @@ class HopperTrajectoryEnv:
         ) if self.curriculum is not None else self.tracking_sigma
 
         out = {}
+        rest = []
         for name, _ in self.reward_scales:
             if name == "tracking_rom":
                 err = sq_err @ self.reward_weighting
@@ -487,36 +551,10 @@ class HopperTrajectoryEnv:
                 ], axis=-1)
                 a_rh = self.raibert(rh_obs)
                 out[name] = jnp.sum(jnp.square(actions - a_rh), axis=-1)
-            elif name == "orientation":
-                # Penalize non-upright base (projected gravity xy).
-                R = quat_to_rotmat(robot.base_quat)
-                g_body = R[:, 2, :2]  # world-z in body frame, xy components
-                out[name] = jnp.sum(jnp.square(g_body), axis=-1)
-            elif name == "ang_vel_xy":
-                out[name] = jnp.sum(jnp.square(robot.v[:, 3:5]), axis=-1)
-            elif name == "torques":
-                out[name] = jnp.sum(jnp.square(torques), axis=-1)
-            elif name == "dof_acc":
-                out[name] = jnp.sum(
-                    jnp.square(
-                        (robot.v[:, 6:] - state.last_dof_vel) / self.dt
-                    ),
-                    axis=-1,
-                )
-            elif name == "action_rate":
-                out[name] = jnp.sum(
-                    jnp.square(actions - state.last_actions), axis=-1
-                )
-            elif name == "unit_quat":
-                out[name] = jnp.square(
-                    1.0 - jnp.linalg.norm(actions, axis=-1)
-                )
-            elif name == "collision":
-                out[name] = term_contact.astype(jnp.float32)
-            elif name == "termination":
-                out[name] = jnp.zeros(self.num_envs)  # filled in step
             else:
-                raise ValueError(f"unknown reward term {name}")
+                rest.append(name)
+        out.update(self._common_rewards(state, robot, actions, torques,
+                                        term_contact, rest))
         return out
 
     # ---- step -----------------------------------------------------------
@@ -573,9 +611,12 @@ class HopperTrajectoryEnv:
             term_r = term_contact.astype(jnp.float32) * scales["termination"]
             total = total + term_r * rmult
             rews["termination"] = term_contact.astype(jnp.float32)
+        # rmult in the sums too: logged per-term rewards must track the
+        # reward actually optimized across curriculum stages.
         episode_sums = {
             k: state.episode_sums[k]
-            + rews[k] * (scales[k] * (self.dt if k != "termination" else 1.0))
+            + rews[k] * rmult
+            * (scales[k] * (self.dt if k != "termination" else 1.0))
             for k in state.episode_sums
         }
 
@@ -588,25 +629,34 @@ class HopperTrajectoryEnv:
             for k, v in episode_sums.items()
         }
 
-        # Periodic pushes, curriculum-scaled (ref :169-178, :527-529).
-        push_mag = self.max_push_vel * self._cur(
-            state, self.curriculum.push_magnitude
-        ) if self.curriculum is not None else self.max_push_vel
-        push_t = self._cur(
-            state, self.curriculum.push_time
-        ) if self.curriculum is not None else 1.0
-        push_interval = jnp.maximum(
-            (jnp.asarray(self.push_interval_s / self.dt) * push_t)
-            .astype(jnp.int32), 1,
-        )
-        key, kp = jax.random.split(state.key)
-        do_push = (episode_step % push_interval) == 0
-        push_vel = jax.random.uniform(kp, (B, 2), minval=-push_mag,
-                                      maxval=push_mag)
-        v_new = robot.v.at[:, :2].add(
-            jnp.where(do_push[:, None], push_vel, 0.0)
-        )
-        robot = robot.replace(v=v_new)
+        # Pushes on per-env random timers, curriculum-scaled: SET the 6-dim
+        # base velocity (ref hopper_trajectory.py:153-167, :362-372).
+        key, kp, kt = jax.random.split(state.key, 3)
+        if self.push_robots:
+            push_mag = jnp.asarray(self.max_push_vel) * (self._cur(
+                state, self.curriculum.push_magnitude
+            ) if self.curriculum is not None else 1.0)
+            push_t = self._cur(
+                state, self.curriculum.push_time
+            ) if self.curriculum is not None else 1.0
+            timer = state.time_until_next_push - self.dt
+            need_push = timer <= 0.0
+            push_vel = jax.random.uniform(kp, (B, 6), minval=-push_mag,
+                                          maxval=push_mag)
+            robot = robot.replace(v=robot.v.at[:, :6].set(
+                jnp.where(need_push[:, None], push_vel, robot.v[:, :6])
+            ))
+            timer = jnp.where(
+                need_push,
+                jax.random.uniform(
+                    kt, (B,),
+                    minval=self.time_between_pushes[0] * push_t,
+                    maxval=self.time_between_pushes[1] * push_t,
+                ),
+                timer,
+            )
+        else:
+            timer = state.time_until_next_push
 
         desired = trajectory[:, 0, :]
         pz_x = self.rom.proj_z(robot.root_states)
@@ -629,6 +679,7 @@ class HopperTrajectoryEnv:
             last_dof_vel=robot.v[:, 6:],
             torques=torques,
             prev_error=jnp.square(pz_x - desired),
+            time_until_next_push=timer,
             episode_step=episode_step,
             episode_sums=episode_sums,
         )

@@ -60,6 +60,7 @@ class HopperVelEnvState:
     last_actions: jax.Array
     last_dof_vel: jax.Array      # (B, 4)
     torques: jax.Array           # (B, 4)
+    time_until_next_push: jax.Array  # (B,) seconds
     episode_step: jax.Array      # (B,)
     episode_sums: Dict[str, jax.Array]
     dr: HopperDR
@@ -97,7 +98,11 @@ class HopperVelocityEnv:
     domain_rand: bool = struct.field(pytree_node=False, default=True)
     episode_length_s: float = struct.field(pytree_node=False, default=20.0)
     resampling_time_s: float = struct.field(pytree_node=False, default=10.0)
-    push_interval_s: float = struct.field(pytree_node=False, default=15.0)
+    # Pushes SET the 6-dim base velocity on per-env random timers (ref
+    # hopper.py:142-152, _push_robots:332-341).
+    push_robots: bool = struct.field(pytree_node=False, default=True)
+    time_between_pushes: tuple = struct.field(pytree_node=False,
+                                              default=(0.5, 10.0))
     foot_sphere: int = struct.field(pytree_node=False, default=1)
     termination_spheres: tuple = struct.field(pytree_node=False,
                                               default=(0, 2, 3, 4))
@@ -105,10 +110,12 @@ class HopperVelocityEnv:
     # No curriculum on the flat velocity task (ref use_curriculum = False).
     curriculum: None = struct.field(pytree_node=False, default=None)
 
-    # Shared hopper machinery (identical physics / controller / resets).
+    # Shared hopper machinery (identical physics / controller / resets /
+    # non-tracking reward terms).
     _compute_torques = HopperTrajectoryEnv._compute_torques
     _reset_robot = HopperTrajectoryEnv._reset_robot
     _resample_dr = HopperTrajectoryEnv._resample_dr
+    _common_rewards = HopperTrajectoryEnv._common_rewards
 
     # ------------------------------------------------------------------
     @property
@@ -179,6 +186,7 @@ class HopperVelocityEnv:
             last_actions=zero_action,
             last_dof_vel=jnp.zeros((B, 4)),
             torques=jnp.zeros((B, 4)),
+            time_until_next_push=jnp.zeros((B,)),
             episode_step=jnp.zeros((B,), jnp.int32),
             episode_sums={name: jnp.zeros((B,))
                           for name, _ in self.reward_scales},
@@ -195,6 +203,11 @@ class HopperVelocityEnv:
         dr = self._resample_dr(state.dr, mask, k2)
         B = self.num_envs
         zero_action = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (B, 1))
+        first_push = jax.random.uniform(
+            jax.random.fold_in(key, 7), (B,),
+            minval=self.time_between_pushes[0],
+            maxval=self.time_between_pushes[1],
+        )
         return state.replace(
             key=key,
             robot=robot,
@@ -202,6 +215,8 @@ class HopperVelocityEnv:
             actions=_mwhere(mask, zero_action, state.actions),
             last_actions=_mwhere(mask, zero_action, state.last_actions),
             last_dof_vel=_mwhere(mask, jnp.zeros((B, 4)), state.last_dof_vel),
+            time_until_next_push=jnp.where(mask, first_push,
+                                           state.time_until_next_push),
             episode_step=jnp.where(mask, 0, state.episode_step),
             episode_sums={k: jnp.where(mask, 0.0, v)
                           for k, v in state.episode_sums.items()},
@@ -214,6 +229,7 @@ class HopperVelocityEnv:
         R = quat_to_rotmat(robot.base_quat)
         lin_vel_body = jnp.einsum("bji,bj->bi", R, robot.v[:, :3])
         out = {}
+        rest = []
         for name, _ in self.reward_scales:
             if name == "tracking_lin_vel":
                 err = jnp.sum(
@@ -223,30 +239,10 @@ class HopperVelocityEnv:
             elif name == "tracking_ang_vel":
                 err = jnp.square(state.commands[:, 2] - robot.v[:, 5])
                 out[name] = jnp.exp(-err / self.tracking_sigma)
-            elif name == "orientation":
-                g_body = R[:, 2, :2]
-                out[name] = jnp.sum(jnp.square(g_body), axis=-1)
-            elif name == "ang_vel_xy":
-                out[name] = jnp.sum(jnp.square(robot.v[:, 3:5]), axis=-1)
-            elif name == "lin_vel_z":
-                out[name] = jnp.square(robot.v[:, 2])
-            elif name == "torques":
-                out[name] = jnp.sum(jnp.square(torques), axis=-1)
-            elif name == "dof_acc":
-                out[name] = jnp.sum(jnp.square(
-                    (robot.v[:, 6:] - state.last_dof_vel) / self.dt), axis=-1)
-            elif name == "action_rate":
-                out[name] = jnp.sum(
-                    jnp.square(actions - state.last_actions), axis=-1)
-            elif name == "unit_quat":
-                out[name] = jnp.square(
-                    1.0 - jnp.linalg.norm(actions, axis=-1))
-            elif name == "collision":
-                out[name] = term_contact.astype(jnp.float32)
-            elif name == "termination":
-                out[name] = jnp.zeros(self.num_envs)
             else:
-                raise ValueError(f"unknown reward term {name}")
+                rest.append(name)
+        out.update(self._common_rewards(state, robot, actions, torques,
+                                        term_contact, rest))
         return out
 
     # ---- step --------------------------------------------------------------
@@ -297,19 +293,31 @@ class HopperVelocityEnv:
 
         # Command resampling on a fixed clock (ref legged_robot.py pattern
         # used by hopper: env_ids where episode step crosses the interval).
-        key, kc, kp = jax.random.split(state.key, 3)
+        key, kc, kp, kt = jax.random.split(state.key, 4)
         resample_every = max(int(round(self.resampling_time_s / self.dt)), 1)
         do_resample = (episode_step % resample_every) == 0
         commands = _mwhere(do_resample, self._sample_commands(kc),
                            state.commands)
 
-        # 6-dim pushes (ref flat/hopper_config.py max_push_vel).
-        push_interval = max(int(round(self.push_interval_s / self.dt)), 1)
-        do_push = (episode_step % push_interval) == 0
-        push = jax.random.uniform(kp, (B, 6), minval=-self.max_push_vel,
-                                  maxval=self.max_push_vel)
-        robot = robot.replace(v=robot.v.at[:, :6].add(
-            jnp.where(do_push[:, None], push, 0.0)))
+        # 6-dim pushes on per-env random timers: SET the base velocity
+        # (ref hopper.py:142-152 + _push_robots:332-341; magnitudes from
+        # flat/hopper_config.py max_push_vel).
+        if self.push_robots:
+            timer = state.time_until_next_push - self.dt
+            need_push = timer <= 0.0
+            push = jax.random.uniform(kp, (B, 6), minval=-self.max_push_vel,
+                                      maxval=self.max_push_vel)
+            robot = robot.replace(v=robot.v.at[:, :6].set(
+                jnp.where(need_push[:, None], push, robot.v[:, :6])))
+            timer = jnp.where(
+                need_push,
+                jax.random.uniform(kt, (B,),
+                                   minval=self.time_between_pushes[0],
+                                   maxval=self.time_between_pushes[1]),
+                timer,
+            )
+        else:
+            timer = state.time_until_next_push
 
         new_state = state.replace(
             key=key,
@@ -319,6 +327,7 @@ class HopperVelocityEnv:
             last_actions=actions,
             last_dof_vel=robot.v[:, 6:],
             torques=torques,
+            time_until_next_push=timer,
             episode_step=episode_step,
             episode_sums=episode_sums,
         )

@@ -63,8 +63,10 @@ def make_hopper_trajectory_env(
     episode_length_s: float = 20.0,
     add_noise: bool = True,
     domain_rand: bool = True,
-    push_interval_s: float = 15.0,
-    max_push_vel: float = 1.0,
+    push_robots: bool = True,
+    max_push_vel=(0.25, 0.25, 0.25, 0.75, 0.75, 0.75),
+    time_between_pushes=(0.5, 10.0),
+    push_interval_s: float | None = None,
     urdf_path: str = HOPPER_URDF,
     reward_scales=HOPPER_REWARD_SCALES,
     curriculum: str | None = None,
@@ -74,7 +76,19 @@ def make_hopper_trajectory_env(
     ``curriculum``: None (off, the config-default ``use_curriculum=False``),
     "single_int" (the 8-stage schedule the fork trains with, ref
     hopper_single_int.yaml:67-98) or "default" (the 3-stage config tables).
+
+    Pushes SET the 6-dim base velocity on per-env random timers in
+    ``time_between_pushes`` seconds (ref hopper_trajectory.py:153-167,
+    legged_robot_trajectory_config.py:150-152). A scalar ``max_push_vel``
+    is broadcast to all 6 dims; 0.0 (or push_robots=False) disables.
+    ``push_interval_s`` is a legacy alias mapped onto the timer upper
+    bound.
     """
+    if isinstance(max_push_vel, (int, float)):
+        push_robots = push_robots and max_push_vel > 0.0
+        max_push_vel = (float(max_push_vel),) * 6
+    if push_interval_s is not None:
+        time_between_pushes = (min(0.5, push_interval_s), push_interval_s)
     spec = parse_urdf(urdf_path)
     model = RobotModel.from_spec(spec)
     # dt=2.5ms (policy rate unchanged at 50Hz): at the reference's 5ms the
@@ -145,8 +159,9 @@ def make_hopper_trajectory_env(
         reward_scales=tuple(reward_scales),
         add_noise=add_noise,
         domain_rand=domain_rand,
-        push_interval_s=push_interval_s,
-        max_push_vel=max_push_vel,
+        push_robots=push_robots,
+        max_push_vel=tuple(max_push_vel),
+        time_between_pushes=tuple(time_between_pushes),
         episode_length_s=episode_length_s,
         num_envs=num_envs,
     )
@@ -560,8 +575,8 @@ def make_anymal_c_rough_env(num_envs: int = 4096, terrain_rows: int = 10,
     # ref anymal_c_rough_config.py domain_rand: base-mass payload +-5 kg.
     kw.setdefault("randomize_base_mass", True)
     kw.setdefault("added_mass_range", (-5.0, 5.0))
-    kw.setdefault("terrain", _rough_terrain(num_envs, terrain_rows,
-                                            terrain_cols))
+    if "terrain" not in kw:  # procedural build is expensive — only default
+        kw["terrain"] = _rough_terrain(num_envs, terrain_rows, terrain_cols)
     return make_velocity_env(ANYMAL_C_URDF, num_envs=num_envs, **kw)
 
 
@@ -573,8 +588,8 @@ def make_anymal_c_rough_trajectory_env(num_envs: int = 4096,
     kw = _anymal_c_kwargs(kw)
     kw.setdefault("measure_heights", True)
     kw.setdefault("max_contact_force", 500.0)
-    kw.setdefault("terrain", _rough_terrain(num_envs, terrain_rows,
-                                            terrain_cols))
+    if "terrain" not in kw:
+        kw["terrain"] = _rough_terrain(num_envs, terrain_rows, terrain_cols)
     return make_trajectory_env(ANYMAL_C_URDF, num_envs=num_envs, **kw)
 
 

@@ -22,14 +22,22 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     return Mesh(np.array(devs[:n]).reshape(n), (axis,))
 
 
-def shard_batch(tree, mesh: Mesh, axis: str = "dp"):
-    """Shard every leaf's leading axis over the mesh; scalars replicate."""
+def shard_batch(tree, mesh: Mesh, axis: str = "dp",
+                batch_size: Optional[int] = None):
+    """Shard every leaf's leading axis over the mesh; scalars replicate.
+
+    ``batch_size``: when given, ONLY leaves whose leading dim equals it are
+    sharded — without it the divisibility heuristic can grab non-batch
+    leading axes (e.g. an LSTM state shaped (2, B*nj, 8) or a (4, 2)
+    command-range table at mesh sizes 2/4) and force a reshard every step.
+    """
     dp = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
 
     def put(x):
         if hasattr(x, "ndim") and x.ndim >= 1 \
-                and x.shape[0] % mesh.devices.size == 0:
+                and x.shape[0] % mesh.devices.size == 0 \
+                and (batch_size is None or x.shape[0] == batch_size):
             return jax.device_put(x, dp)
         return jax.device_put(x, repl)
 

@@ -141,10 +141,12 @@ class OnPolicyRunner:
             assert env.num_envs % mesh.devices.size == 0, (
                 f"num_envs={env.num_envs} not divisible by mesh size "
                 f"{mesh.devices.size}")
-            self.env_state = shard_batch(self.env_state, mesh)
+            self.env_state = shard_batch(self.env_state, mesh,
+                                         batch_size=env.num_envs)
             self.train_state = replicate(self.train_state, mesh)
             if self.carry is not None:
-                self.carry = shard_batch(self.carry, mesh)
+                self.carry = shard_batch(self.carry, mesh,
+                                         batch_size=env.num_envs)
         self.mesh = mesh
         self.log_dir = log_dir
         self.ckpt = CheckpointManager(log_dir) if log_dir else None
