@@ -434,7 +434,18 @@ def solve_tube_fast(p: TrajOptParams, N: int, H_rev: int,
                                   else tube_kind),
                        scaling=scaling, track_ref=track_warm)
     if z_init is None:
-        z_init, v_init = get_warm_start(warm_start, p, N, cfg)
+        if warm_start == "nominal":
+            # Structured nominal solve: the staged l1 path with zero tube
+            # scaling IS the no-tube problem (w stays at its 0 warm start,
+            # Qw=0 leaves it costless) — ~40x cheaper than routing the
+            # warm start through the dense generic solver.
+            nom = solve_tube_fast(
+                p, N, H_rev, tube_kind="l1", scaling=0.0, cfg=cfg,
+                warm_start="interpolate", tube_ws=0.0,
+            )
+            z_init, v_init = nom.z, nom.v
+        else:
+            z_init, v_init = get_warm_start(warm_start, p, N, cfg)
     tube_fn = get_tube_dynamics(
         "NN_oneshot" if sp.tube_kind == "nn" else sp.tube_kind, N, scaling
     )
