@@ -81,6 +81,61 @@ def evaluate_tube_recursive(model: MLP, rollouts: RolloutData,
     }
 
 
+def compare_tube_models(models: Dict[str, tuple], rollouts: RolloutData,
+                        batch: int = 4096, seed: int = 0
+                        ) -> Dict[str, Dict[str, float]]:
+    """Side-by-side coverage comparison of tube-model variants on one shared
+    rollout set.
+
+    Re-design of ``evaluate_tube_simple_comparison.py`` (ref evaluation/
+    evaluate_tube_simple_comparison.py:11-150): the reference pulls four
+    trained variants (standard N=1, input-history N=10, recursive
+    error/input-history N=10, one-shot) from wandb, windows the SAME fresh
+    epoch data per each model's dataset config, and compares predictions.
+    Here each entry pairs a model with the dataset spec it was trained on
+    and the shared ``rollouts`` are windowed per spec.
+
+    ``models``: {display_name: (MLP, spec)} with spec either
+    ``{"kind": "scalar", "N": int, "dN": int, "recursive": bool}`` or
+    ``{"kind": "oneshot", "H_fwd": int, "H_rev": int}``.
+
+    Returns {name: metrics}: one-step coverage/excess for every model
+    (for the one-shot kind, full-horizon coverage plus the first-step
+    slice), and rollout-recursive coverage for the non-recursive scalar
+    variants (the only layout ``evaluate_tube_recursive`` defines).
+    """
+    from .tube.datasets import (
+        scalar_horizon_tube_dataset,
+        scalar_tube_dataset,
+    )
+
+    rng = np.random.default_rng(seed)
+    out: Dict[str, Dict[str, float]] = {}
+    for name, (model, spec) in models.items():
+        kind = spec.get("kind", "scalar")
+        if kind == "oneshot":
+            ds = scalar_horizon_tube_dataset(
+                rollouts, H_fwd=spec.get("H_fwd", 50),
+                H_rev=spec.get("H_rev", 10))
+            x, y = ds.sample_batch(rng, batch)
+            fw = np.asarray(jax.jit(jax.vmap(model.__call__))(jnp.asarray(x)))
+            metrics = {
+                "coverage": float(np.mean(np.all(fw >= y, axis=-1))),
+                "one_step_coverage": float(np.mean(fw[:, 0] >= y[:, 0])),
+                "mean_excess": float(np.mean(fw - y)),
+            }
+        else:
+            ds = scalar_tube_dataset(
+                rollouts, N=spec.get("N", 1), dN=spec.get("dN", 1),
+                recursive=spec.get("recursive", False))
+            metrics = evaluate_tube_one_step(model, ds.data, ds.target)
+            if not spec.get("recursive", False) and spec.get("dN", 1) == 1:
+                metrics.update(evaluate_tube_recursive(
+                    model, rollouts, window=spec.get("N", 1)))
+        out[name] = metrics
+    return out
+
+
 # ---------------------------------------------------------------------------
 # RL policy evaluation vs deterministic fixtures (ref evaluate_rl_policy.py)
 # ---------------------------------------------------------------------------

@@ -127,3 +127,48 @@ def test_tube_on_mpc_trace_eval():
     assert out["solver_converged_frac"] > 0.5
     assert out["coverage"] > 0.5, out
     assert np.isfinite(out["mean_margin"])
+
+
+def test_compare_tube_models():
+    """Multi-variant comparison on one shared rollout set
+    (ref evaluate_tube_simple_comparison.py: standard / input-history /
+    recursive / one-shot variants windowed from the same epochs)."""
+    from legged_gym_dev_tpu.evaluation import compare_tube_models
+    from legged_gym_dev_tpu.tube.datasets import (
+        scalar_horizon_tube_dataset,
+        scalar_tube_dataset,
+    )
+
+    r = synthetic_rollouts(E=4, T=40)
+    key = jax.random.PRNGKey(0)
+    specs = {
+        "standard": {"kind": "scalar", "N": 1, "dN": 1, "recursive": False},
+        "input_history": {"kind": "scalar", "N": 3, "dN": 1,
+                          "recursive": False},
+        "recursive": {"kind": "scalar", "N": 3, "dN": 1, "recursive": True},
+        "oneshot": {"kind": "oneshot", "H_fwd": 5, "H_rev": 3},
+    }
+    models = {}
+    for i, (name, spec) in enumerate(specs.items()):
+        if spec["kind"] == "oneshot":
+            ds = scalar_horizon_tube_dataset(r, H_fwd=5, H_rev=3)
+            in_dim, out_dim = ds.input_dim, ds.output_dim
+        else:
+            ds = scalar_tube_dataset(r, N=spec["N"], dN=spec["dN"],
+                                     recursive=spec["recursive"])
+            in_dim, out_dim = ds.input_dim, 1
+        models[name] = (
+            MLP.create(jax.random.PRNGKey(i), in_dim, out_dim, num_units=16,
+                       num_layers=1, final_activation="softplus"),
+            spec,
+        )
+    out = compare_tube_models(models, r, batch=64)
+    assert set(out) == set(specs)
+    for name, m in out.items():
+        assert 0.0 <= m["coverage"] <= 1.0, name
+        assert np.isfinite(m["mean_excess"]), name
+    # recursive metrics only where the layout defines them
+    assert "recursive_coverage" in out["standard"]
+    assert "recursive_coverage" in out["input_history"]
+    assert "recursive_coverage" not in out["recursive"]
+    assert "one_step_coverage" in out["oneshot"]
