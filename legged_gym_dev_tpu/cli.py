@@ -272,7 +272,38 @@ def cmd_train_tube(args):
         print(f"saved tube model -> {args.out}")
 
 
-def _make_problem(args):
+def _load_tube_model(args):
+    """Load the pickled tube MLP for NN_oneshot and sanity-check its
+    horizon against --N/--H-rev (the one-shot net's output IS the width
+    horizon; ref tube_trajopt.py:543-570)."""
+    import pickle
+
+    import jax
+
+    if not args.tube_model:
+        raise SystemExit("--tube-dyn NN_oneshot requires --tube-model "
+                         "(train one with `train-tube --oneshot --out ...`)")
+    with open(args.tube_model, "rb") as f:
+        model = pickle.load(f)
+    import jax.numpy as jnp
+
+    model = jax.tree.map(jnp.asarray, model)
+    out_dim = model.weights[-1].shape[1]
+    if out_dim != args.N:
+        raise SystemExit(
+            f"tube model predicts H_fwd={out_dim} widths but --N={args.N}; "
+            "the one-shot horizon must equal the planning horizon")
+    in_dim = model.weights[0].shape[0]
+    expect = args.H_rev + (args.H_rev + args.N) * 2   # SingleInt2D: no z_rest
+    if in_dim != expect:
+        raise SystemExit(
+            f"tube model input dim {in_dim} != {expect} expected for "
+            f"H_rev={args.H_rev}, N={args.N} (was it trained with "
+            "--oneshot and matching --H-rev/--H-fwd?)")
+    return model
+
+
+def _make_problem(args, tube_params=None):
     import jax.numpy as jnp
 
     from .core import make_rom
@@ -285,7 +316,7 @@ def _make_problem(args):
     p = TrajOptParams.create(
         pm, args.N, args.H_rev, 10 * np.eye(2), 10 * np.eye(2),
         prob["start"], prob["goal"], prob["obs"]["c"], prob["obs"]["r"],
-        Qw=0.0, w_max=1.0,
+        Qw=0.0, w_max=1.0, tube_params=tube_params,
     )
     return prob, p
 
@@ -294,7 +325,10 @@ def cmd_plan(args):
     _setup(args)
     from .solver import get_tube_dynamics, solve_nominal, solve_tube
 
-    prob, p = _make_problem(args)
+    tube_params = (_load_tube_model(args)
+                   if args.tube_dyn == "NN_oneshot" and not args.nominal
+                   else None)
+    prob, p = _make_problem(args, tube_params)
     if args.nominal:
         z, v, sol = solve_nominal(p, args.N, warm_start="interpolate")
         w = None
@@ -325,7 +359,9 @@ def cmd_mpc(args):
     from .solver import get_tube_dynamics
     from .solver.mpc import MPCConfig, closed_loop_tube_mpc
 
-    prob, p = _make_problem(args)
+    tube_params = (_load_tube_model(args)
+                   if args.tube_dyn == "NN_oneshot" else None)
+    prob, p = _make_problem(args, tube_params)
     robot = DoubleInt2D.create(
         prob["dt"], [-np.inf, -np.inf, -0.3, -0.3],
         [np.inf, np.inf, 0.3, 0.3], [-0.5, -0.5], [0.5, 0.5],
@@ -450,7 +486,12 @@ def build_parser():
         s.add_argument("--problem", default="gap",
                        choices=["gap", "right", "right_wide"])
         s.add_argument("--tube-dyn", default="l1",
-                       choices=["l1", "l2", "l1_rolling", "l2_rolling"])
+                       choices=["l1", "l2", "l1_rolling", "l2_rolling",
+                                "NN_oneshot"])
+        s.add_argument("--tube-model", default="",
+                       help="pickled tube MLP from `train-tube --oneshot "
+                            "--out` (required for --tube-dyn NN_oneshot; "
+                            "its H_fwd must equal --N and H_rev --H-rev)")
         s.add_argument("--N", type=int, default=50)
         s.add_argument("--H-rev", type=int, default=10)
         s.add_argument("--out", default="")

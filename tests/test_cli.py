@@ -85,3 +85,43 @@ def test_collect_from_rigid_body_env(tmp_path):
     raw = np.load(data)
     assert raw["z"].shape[0] == 2 and raw["pz_x"].shape == raw["z"].shape
     assert np.isfinite(raw["pz_x"]).all()
+
+
+def test_plan_nn_oneshot(tmp_path):
+    """End-to-end learned-tube CLI path: collect -> train-tube --oneshot ->
+    plan/mpc --tube-dyn NN_oneshot (the reference's main tube mode,
+    ref tube_planning.py:38-41 + tube_trajopt.py:543-570)."""
+    data = str(tmp_path / "rollouts.npz")
+    model = str(tmp_path / "tube.pkl")
+    run_cli(["collect", "--num-envs", "32", "--epochs", "1",
+             "--episode-length-s", "4", "--out", data])
+    run_cli(["train-tube", "--data", data, "--epochs", "3", "--oneshot",
+             "--H-fwd", "8", "--H-rev", "4", "--out", model])
+    assert os.path.exists(model)
+
+    out = run_cli(["plan", "--problem", "gap", "--tube-dyn", "NN_oneshot",
+                   "--tube-model", model, "--N", "8", "--H-rev", "4",
+                   "--out", str(tmp_path / "plan.npz")])
+    rec = json.loads([l for l in out.splitlines() if l.startswith("{")][0])
+    assert rec["viol"] < 1e-3
+    assert os.path.exists(tmp_path / "plan.npz")
+    assert "w" in np.load(tmp_path / "plan.npz")
+
+    # Horizon-mismatch guard: a wrong --N must fail loudly, not mis-plan.
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    bad = subprocess.run(
+        [sys.executable, "-m", "legged_gym_dev_tpu.cli", "plan",
+         "--problem", "gap", "--tube-dyn", "NN_oneshot",
+         "--tube-model", model, "--N", "12", "--H-rev", "4", "--cpu"],
+        capture_output=True, text=True, timeout=240, cwd=REPO, env=env,
+    )
+    assert bad.returncode != 0
+    assert "H_fwd" in bad.stderr
+
+    out = run_cli(["mpc", "--problem", "gap", "--tube-dyn", "NN_oneshot",
+                   "--tube-model", model, "--N", "8", "--H-rev", "4",
+                   "--H", "10", "--out", str(tmp_path / "mpc.npz")],
+                  timeout=300)
+    rec = json.loads([l for l in out.splitlines() if l.startswith("{")][0])
+    assert rec["max_resolve_viol"] < 1e-2
