@@ -478,19 +478,54 @@ def dynamics_terms(model: RobotModel, state: RobotState):
     return M, c, pos, vel, Jc
 
 
+def _barrier_lists(*trees):
+    """jax.lax.optimization_barrier over nested lists of (B,)/float leaves.
+
+    Materializes the shared FK/COM producers ONCE: without it XLA's
+    producer-consumer fusion re-derives the chain inside every consumer
+    fusion of the substep (measured 9x instruction duplication: the 8.4k-
+    multiply jaxpr compiles to 77k multiplies across 163 fusions at nj=12;
+    docs/PERF.md). The materialized leaves are only (B,) f32 buffers, so
+    the extra HBM traffic is trivial next to the duplicated compute.
+    """
+    leaves, treedef = jax.tree.flatten(trees)
+    is_arr = [hasattr(l, "dtype") for l in leaves]
+    arrs = [l for l, a in zip(leaves, is_arr) if a]
+    arrs = list(jax.lax.optimization_barrier(tuple(arrs)))
+    out = [arrs.pop(0) if a else l for l, a in zip(leaves, is_arr)]
+    return jax.tree.unflatten(treedef, out)
+
+
 def substep_core(model: RobotModel, state: RobotState, tau: jax.Array,
-                 contact_force_fn, base_mass_delta=None) -> jax.Array:
+                 contact_force_fn, base_mass_delta=None,
+                 fusion_barriers="auto") -> jax.Array:
     """The fused hot path: qdd (B, nv) from one scalar-graph pass.
 
     contact_force_fn(pos (B,nc,3), vel (B,nc,3)) -> forces (B,nc,3) — the
     compliant terrain model (sim/contact.py); its inputs/outputs are small
     and batch-major, everything else stays lane-major.
+
+    ``fusion_barriers`` materializes the shared FK-chain/COM intermediates
+    (and at level "all" the assembled M/rhs) so XLA consumer fusions reuse
+    instead of recompute them (see _barrier_lists). "auto" (default)
+    enables level "all" for big trees and disables for small ones —
+    measured on chip (docs/PERF.md): nj=12 substep 2.2 -> 1.02 ms at
+    B=4096 with barriers, while the nj=4 hopper's already-compact graph is
+    neutral-to-slower with them.
     """
+    if fusion_barriers == "auto":
+        fusion_barriers = "all" if model.nj >= 8 else False
     B = state.base_pos.shape[0]
     nv = 6 + model.nj
     p0, quat, q, v = _state_lm(state)
     chain = fk_chain_lm(model, p0, quat, q, v)
     cs, acs, Iws = _com_chain(model, chain)
+    if fusion_barriers:
+        (chain.R, chain.p, chain.w, chain.vo, chain.dw, chain.ao,
+         chain.ax_w, chain.pj_w, cs, acs, Iws) = _barrier_lists(
+            chain.R, chain.p, chain.w, chain.vo, chain.dw, chain.ao,
+            chain.ax_w, chain.pj_w, cs, acs, Iws)
+    barrier_mb = fusion_barriers == "all"
     M = _assemble_M(model, chain, cs, Iws, base_mass_delta)
     bias = _assemble_bias(model, chain, cs, acs, Iws, base_mass_delta)
 
@@ -513,5 +548,9 @@ def substep_core(model: RobotModel, state: RobotState, tau: jax.Array,
     for j in range(model.nj):
         rhs[6 + j] = rhs[6 + j] + tau[:, j]
 
+    if barrier_mb:
+        # Second barrier level: materialize the assembled (M, rhs) so the
+        # unrolled Cholesky's fusions don't re-derive assembly terms.
+        M, rhs = _barrier_lists(M, rhs)
     qdd = _chol_solve_lm(M, rhs, nv)
     return _bcast(qdd, B)
