@@ -39,6 +39,9 @@ def main():
     # throughput at 4096 (~8.7k solves/s with the scalar-entry staged
     # solver; 1024 gives ~4.9k, 8192 sustains ~8k).
     B = int(os.environ.get("BENCH_BATCH", "4096"))
+    # 'l1' (default) or 'NN_oneshot' — the reference's flagship learned
+    # tube mode (ref: trajopt/tube_trajopt.py:543-570).
+    TUBE = os.environ.get("BENCH_TUBE", "l1")
 
     prob = PROBLEM_DICT["gap"]
     pm = make_rom(
@@ -48,9 +51,22 @@ def main():
     )
     Q = 10 * np.eye(2)
     R = 10 * np.eye(2)
+    tube_params = None
+    if TUBE == "NN_oneshot":
+        from legged_gym_dev_tpu.tube.models import MLP
+
+        nn = MLP.create(jax.random.PRNGKey(0), H_REV + (H_REV + N) * 2, N,
+                        num_units=128, num_layers=2,
+                        final_activation="softplus")
+        ws, bs = list(nn.weights), list(nn.biases)
+        ws[-1] = ws[-1] * 0.1
+        bs[-1] = bs[-1] * 0.0 - 2.5
+        tube_params = nn.replace(weights=tuple(ws), biases=tuple(bs))
     p = TrajOptParams.create(
         pm, N, H_REV, Q, R, prob["start"], prob["goal"],
-        prob["obs"]["c"], prob["obs"]["r"], Qw=0.0, w_max=1.0,
+        prob["obs"]["c"], prob["obs"]["r"],
+        Qw=(0.1 if TUBE == "NN_oneshot" else 0.0), w_max=1.0,
+        tube_params=tube_params,
     )
     # Scenario batch: randomized starts/goals/obstacle layouts.
     rng = np.random.default_rng(0)
@@ -71,8 +87,9 @@ def main():
     # linear algebra.
     solve = jax.jit(
         lambda pb: solve_tube_fast_batched(
-            pb, N, H_REV, tube_kind="l1", scaling=0.5, cfg=cfg,
-            warm_start="interpolate", tube_ws="evaluate",
+            pb, N, H_REV, tube_kind=TUBE, scaling=0.5, cfg=cfg,
+            warm_start=("nominal" if TUBE == "NN_oneshot" else "interpolate"),
+            tube_ws="evaluate",
         )
     )
 
@@ -93,9 +110,32 @@ def main():
     solves_per_s = B / dt
     feasible_frac = float(np.mean(viol < 1e-3))
 
+    # Per-scenario verdicts (outside the timed loop): restoration +
+    # local-infeasibility certification — the role IPOPT's restoration
+    # failure signal plays in the reference. No plan is silently returned
+    # as "solved" when it violates constraints.
+    from legged_gym_dev_tpu.solver import certify_staged_batched
+    from legged_gym_dev_tpu.solver.fast_tube import StagedProblem, staged_bounds
+
+    sp = StagedProblem(n=2, m=2, N=N, K=2,
+                       tube_kind=("nn" if TUBE == "NN_oneshot" else TUBE),
+                       scaling=0.5, track_ref=False)
+    lb_u, ub_u = staged_bounds(p, 2, 2, N)
+    u_all = out.sol.x.reshape(B, N + 1, -1)
+    cert = jax.jit(
+        lambda pb, u, v: certify_staged_batched(sp, pb, u, v, lb_u, ub_u)
+    )(p_batch, u_all, out.sol.viol)
+    verdicts = np.asarray(cert.verdict)
+    counts = {name: int(np.sum(verdicts == i))
+              for i, name in enumerate(("feasible", "restored",
+                                        "infeasible", "failed"))}
+    feas_mask = verdicts == 0
+    max_viol_feasible = float(viol[feas_mask].max()) if feas_mask.any() else 0.0
+
     baseline_solves_per_s = 10.0  # serial warm-started IPOPT estimate (see top)
     print(json.dumps({
-        "metric": "tube_mpc_solves_per_s_per_chip_N50",
+        "metric": ("tube_mpc_solves_per_s_per_chip_N50" if TUBE == "l1"
+                   else f"tube_mpc_solves_per_s_per_chip_N50_{TUBE}"),
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / baseline_solves_per_s, 1),
@@ -103,6 +143,8 @@ def main():
         "solve_wall_s": round(dt, 4),
         "feasible_frac": feasible_frac,
         "max_viol": float(viol.max()),
+        "max_viol_feasible": max_viol_feasible,
+        "verdicts": counts,
     }))
 
 

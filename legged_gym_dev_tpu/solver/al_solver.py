@@ -53,6 +53,12 @@ class ALConfig:
     reg: float = struct.field(pytree_node=False, default=1e-7)
     ls_backtrack: float = struct.field(pytree_node=False, default=0.5)
     armijo: float = struct.field(pytree_node=False, default=1e-4)
+    # Pure quadratic-penalty mode: freeze the multipliers at their initial
+    # values (zeros). With the objective zeroed this minimizes exactly the
+    # violation measure theta = 0.5||h||^2 + 0.5||g-||^2 — the restoration
+    # phase (first-order multiplier updates diverge on infeasible problems
+    # and drag the iterate away from the violation minimizer).
+    penalty_only: bool = struct.field(pytree_node=False, default=False)
     # Stage-structured linear solve (staged_scalar.py only):
     # "thomas" = block-Thomas scan — fewer FLOPs, 2(S-1) sequential steps;
     # "cr" = block cyclic reduction — one fused scan-free graph, ~2-3x the

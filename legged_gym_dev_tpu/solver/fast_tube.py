@@ -262,19 +262,16 @@ def solve_tube_fast_single(
 ) -> ALSolution:
     """AL-GN on the staged layout (single scenario; vmap to batch).
 
-    The l1/l2 tube family dispatches to the scalar-entry ("lane-major")
+    All tube kinds dispatch to the scalar-entry ("lane-major")
     implementation in staged_scalar.py — same algorithm, ~3x faster on TPU
     (no tiny minor dims to pad to (8,128) tiles; see docs/PERF.md). The
-    NN tube keeps the array path (Woodbury low-rank correction).
+    dense NN tube rows ride as an entry-form Woodbury correction there;
+    ``solve_tube_fast_single_array`` remains as the parity reference.
     """
-    if sp.tube_kind in ("l1", "l2"):
-        from .staged_scalar import solve_staged_scalar
+    from .staged_scalar import solve_staged_scalar
 
-        return solve_staged_scalar(sp, p, u0, lb_u, ub_u, cfg,
-                                   lam0=lam0, mu0=mu0, rho_init=rho_init)
-    return solve_tube_fast_single_array(sp, p, u0, lb_u, ub_u, cfg,
-                                        lam0=lam0, mu0=mu0,
-                                        rho_init=rho_init)
+    return solve_staged_scalar(sp, p, u0, lb_u, ub_u, cfg,
+                               lam0=lam0, mu0=mu0, rho_init=rho_init)
 
 
 def solve_tube_fast_single_array(
@@ -486,6 +483,7 @@ def closed_loop_tube_mpc_fast(
     cfg_loop: ALConfig = ALConfig(outer_iters=5, inner_iters=6),
     warm_start: str = "interpolate",
     tube_ws="evaluate",
+    exec_tol: float = 1e-3,
 ):
     """Receding-horizon tube MPC with the structured solver in the loop
     (ref: tube_planning_closed_loop.py; structured counterpart of
@@ -494,7 +492,12 @@ def closed_loop_tube_mpc_fast(
     The generic-path MPC re-solves through the dense AL solver, whose
     batched triangular solves exhaust scoped VMEM past ~200 scenarios; the
     block-tridiagonal path has no such limit and is ~7x faster per
-    re-solve. Returns (z, v, w, pz_x, viol) executed traces.
+    re-solve. Returns (z, v, w, pz_x, viol, adopted) executed traces.
+
+    Execution gate (the role IPOPT's restoration-failure signal plays in
+    the reference): a re-solve violating constraints by more than
+    ``exec_tol`` is NOT executed — the loop keeps following the last
+    feasible plan, advanced one stage per step (``adopted[k]`` False).
     """
     n, m = p.rom.n, p.rom.m
     sp = StagedProblem(n=n, m=m, N=N, K=p.obs_r.shape[0],
@@ -508,19 +511,25 @@ def closed_loop_tube_mpc_fast(
     x0 = jnp.concatenate([p.z0[:2], jnp.zeros(2)])
 
     def body(carry, _):
-        sol, z_cur, x_cur, e_hist, v_prev, p_cur = carry
+        sol, u_exec, age, z_cur, x_cur, e_hist, v_prev, p_cur = carry
         u = sol.x.reshape(N + 1, -1)
-        z_sol, w_sol, v_sol = unpack_staged(u, n, m, N)
+
+        adopt = sol.viol < exec_tol
+        u_exec = jnp.where(adopt, u, u_exec)
+        age = jnp.where(adopt, 0, jnp.minimum(age + 1, N - 1))
+        z_sol, w_sol, v_sol = unpack_staged(u_exec, n, m, N)
+        z_tgt = z_sol[age]
+        v_tgt = v_sol[jnp.minimum(age + 1, N - 1)]
 
         u_pd = robot.clip_v_z(
             x_cur[None, :],
-            Kp * (z_sol[0] - x_cur[:2])[None, :]
-            + Kd * (v_sol[1] - x_cur[2:])[None, :],
+            Kp * (z_tgt - x_cur[:2])[None, :]
+            + Kd * (v_tgt - x_cur[2:])[None, :],
         )[0]
         x_next = robot.f(x_cur[None, :], u_pd[None, :])[0]
         pz_x_next = robot.proj_z(x_next[None, :])[0]
 
-        v_apply = v_sol[0]
+        v_apply = v_sol[age]
         z_next = p_cur.rom.f(z_cur[None, :], v_apply[None, :])[0]
 
         pz_x_cur = robot.proj_z(x_cur[None, :])[0]
@@ -533,11 +542,16 @@ def closed_loop_tube_mpc_fast(
             sp, p_new, u, lb_u, ub_u, cfg_loop,
             lam0=sol.lam, mu0=sol.mu, rho_init=sol.rho,
         )
-        outs = (z_next, v_apply, w_sol[1], pz_x_next, sol_new.viol)
-        return (sol_new, z_next, x_next, e_hist, v_prev, p_new), outs
+        outs = (z_next, v_apply, w_sol[jnp.minimum(age + 1, N)], pz_x_next,
+                sol_new.viol, adopt)
+        return (sol_new, u_exec, age, z_next, x_next, e_hist, v_prev,
+                p_new), outs
 
-    carry0 = (out0.sol, p.z0, x0, p.e_hist, p.v_prev, p)
-    _, (z_t, v_t, w_t, pzx_t, viols) = jax.lax.scan(
+    # age starts at -1 so an infeasible FIRST solve still executes its
+    # stage-0 input (no older plan exists to fall back to).
+    carry0 = (out0.sol, out0.sol.x.reshape(N + 1, -1),
+              jnp.asarray(-1, jnp.int32), p.z0, x0, p.e_hist, p.v_prev, p)
+    _, (z_t, v_t, w_t, pzx_t, viols, adopts) = jax.lax.scan(
         body, carry0, None, length=H
     )
     return (
@@ -546,4 +560,5 @@ def closed_loop_tube_mpc_fast(
         jnp.concatenate([jnp.zeros((1,)), w_t], axis=0),
         jnp.concatenate([robot.proj_z(x0[None, :]), pzx_t], axis=0),
         viols,
+        adopts,
     )

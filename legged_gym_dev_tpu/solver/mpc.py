@@ -53,6 +53,9 @@ class MPCTrace(NamedTuple):
     w_sol: jax.Array    # (H, N+1)
     viol: jax.Array     # (H,) solver violation per re-solve
     converged: jax.Array  # (H,) solver convergence per re-solve
+    adopted: jax.Array  # (H,) bool — plan executed this step was fresh
+    #                     (False = re-solve violated constraints; the last
+    #                     feasible plan was executed instead)
 
 
 def closed_loop_tube_mpc(
@@ -64,6 +67,7 @@ def closed_loop_tube_mpc(
     al_loop: ALConfig = ALConfig(outer_iters=4, inner_iters=6),
     warm_start: str = "nominal",
     tube_ws="evaluate",
+    exec_tol: float = 1e-3,
 ) -> MPCTrace:
     """Run H receding-horizon re-solves with a PD-tracked double integrator.
 
@@ -71,6 +75,13 @@ def closed_loop_tube_mpc(
     re-solve is warm-started from the previous primal/dual solution — the
     analog of the reference's max_iter=200 first solve + warm-started
     re-solves (ref :82-85, 159-168).
+
+    Execution gate: a re-solve whose constraint violation exceeds
+    ``exec_tol`` is NOT executed (the role IPOPT's restoration-failure
+    signal plays in the reference); the loop instead keeps executing the
+    last feasible plan, advanced one stage per step. If the FIRST solve is
+    infeasible there is no previous plan and it executes regardless
+    (mirrors the reference, which has no fallback there either).
     """
     N, H_rev = mpc.N, mpc.H_rev
     n, m = p.rom.n, p.rom.m
@@ -86,20 +97,28 @@ def closed_loop_tube_mpc(
     z0 = p.z0
 
     def body(carry, _):
-        sol, z_cur, x_cur, e_hist, v_prev, p_cur = carry
-        z_sol, v_sol, w_sol = unpack_x(sol.x, N, n, m, True)
+        sol, x_exec, age, z_cur, x_cur, e_hist, v_prev, p_cur = carry
+
+        # Adopt the fresh plan only if it satisfies the constraints;
+        # otherwise advance along the last feasible plan.
+        adopt = sol.viol < exec_tol
+        x_exec = jnp.where(adopt, sol.x, x_exec)
+        age = jnp.where(adopt, 0, jnp.minimum(age + 1, N - 1))
+        z_sol, v_sol, w_sol = unpack_x(x_exec, N, n, m, True)
+        z_tgt = z_sol[age]
+        v_tgt = v_sol[jnp.minimum(age + 1, N - 1)]
 
         # PD-track the plan with the double integrator (ref :87-103).
         u = robot.clip_v_z(
             x_cur[None, :],
-            mpc.Kp * (z_sol[0] - x_cur[:2])[None, :]
-            + mpc.Kd * (v_sol[1] - x_cur[2:])[None, :],
+            mpc.Kp * (z_tgt - x_cur[:2])[None, :]
+            + mpc.Kd * (v_tgt - x_cur[2:])[None, :],
         )[0]
         x_next = robot.f(x_cur[None, :], u[None, :])[0]
         pz_x_next = robot.proj_z(x_next[None, :])[0]
 
-        # Execute the plan's first input on the ROM (ref :98-99).
-        v_apply = v_sol[0]
+        # Execute the plan's current input on the ROM (ref :98-99).
+        v_apply = v_sol[age]
         z_next = p_cur.rom.f(z_cur[None, :], v_apply[None, :])[0]
 
         # Roll histories (ref :159-164).
@@ -117,15 +136,20 @@ def closed_loop_tube_mpc(
             lam0=sol.lam, mu0=sol.mu, rho_init=sol.rho,
         )
         outs = (
-            z_next, v_apply, w_sol[1], x_next, u, pz_x_next,
-            z_sol, v_sol, w_sol, sol_new.viol, sol_new.converged,
+            z_next, v_apply, w_sol[jnp.minimum(age + 1, N)], x_next, u,
+            pz_x_next, z_sol, v_sol, w_sol, sol_new.viol, sol_new.converged,
+            adopt,
         )
-        return (sol_new, z_next, x_next, e_hist, v_prev, p_new), outs
+        return (sol_new, x_exec, age, z_next, x_next, e_hist, v_prev,
+                p_new), outs
 
-    carry0 = (out0.sol, z0, x0, p.e_hist, p.v_prev, p)
+    # age starts at -1 so an infeasible FIRST solve still executes its
+    # stage-0 input (there is no older plan to fall back to).
+    carry0 = (out0.sol, out0.sol.x, jnp.asarray(-1, jnp.int32), z0, x0,
+              p.e_hist, p.v_prev, p)
     _, outs = jax.lax.scan(body, carry0, None, length=mpc.H)
     (z_t, v_t, w_t, x_t, u_t, pzx_t, z_sols, v_sols, w_sols, viols,
-     convs) = outs
+     convs, adopts) = outs
 
     return MPCTrace(
         z=jnp.concatenate([z0[None], z_t], axis=0),
@@ -135,7 +159,7 @@ def closed_loop_tube_mpc(
         u=u_t,
         pz_x=jnp.concatenate([robot.proj_z(x0[None, :]), pzx_t], axis=0),
         z_sol=z_sols, v_sol=v_sols, w_sol=w_sols,
-        viol=viols, converged=convs,
+        viol=viols, converged=convs, adopted=adopts,
     )
 
 

@@ -17,9 +17,15 @@ pytrees) and skipped at trace time, so the sparsity of the staged blocks
 exactly.
 
 Replaces IPOPT+MUMPS' sparse factorization (ref: trajopt/tube_trajopt.py:
-256-277) for the l1/l2 tube family; the one-shot NN tube keeps the array
-path (Woodbury) in ``fast_tube``. Verified against the generic dense
-solver in tests/test_fast_tube.py.
+256-277) for the full tube family, including the reference's flagship
+``NN_oneshot`` mode (ref: tube_trajopt.py:543-570, where the learned tube
+MLP is embedded in the NLP via l4casadi C++ codegen): the dense NN tube
+rows couple all stages, so they ride as a rank-N Woodbury correction on
+the banded factorization — the MLP Jacobian is computed once per inner
+iteration with batched ``jacfwd``, the banded solve handles
+``[grad, U]`` as one multi-RHS scan, and the (N, N) capacitance system
+is a small batched Cholesky. Verified against the generic dense solver
+and the array-form staged path in tests/test_fast_tube.py.
 """
 from __future__ import annotations
 
@@ -75,17 +81,32 @@ def _split_e(u_e, sp):
     return z_e, w, v_e
 
 
-def _tube_fw_e(sp, v_e):
+def _tube_fw_e(sp, z_e, v_e, p):
     if sp.tube_kind == "l1":
         fw = 0.0
         for vj in v_e:
             fw = _add(fw, sp.scaling * jnp.abs(vj))
         return fw
-    # l2
-    fw = 0.0
-    for vj in v_e:
-        fw = _add(fw, sp.scaling * vj * vj)
-    return fw
+    if sp.tube_kind == "l2":
+        fw = 0.0
+        for vj in v_e:
+            fw = _add(fw, sp.scaling * vj * vj)
+        return fw
+    # NN one-shot (input layout parity with tube_dynamics.nn_oneshot_tube,
+    # ref: trajopt/tube_trajopt.py:543-570): x = [e_hist, z0[2:],
+    # column-major vec([v_prev; v])]. Entries may carry extra leading axes
+    # (parallel line search) — the MLP applies over the last axis.
+    lead = jnp.broadcast_shapes(*[jnp.shape(vj)[:-1] for vj in v_e])
+    parts = [jnp.broadcast_to(p.e_hist, lead + p.e_hist.shape)]
+    for i in range(2, sp.n):
+        parts.append(jnp.broadcast_to(z_e[i][..., 0:1],
+                                      lead + (1,)))
+    for j in range(sp.m):
+        vp = jnp.broadcast_to(p.v_prev[:, j], lead + (p.v_prev.shape[0],))
+        vj = jnp.broadcast_to(v_e[j], lead + jnp.shape(v_e[j])[-1:])
+        parts.append(jnp.concatenate([vp, vj], axis=-1))
+    x = jnp.concatenate(parts, axis=-1)
+    return p.tube_params(x)
 
 
 def _h_entries(sp, z_e, w, v_e, p):
@@ -94,7 +115,7 @@ def _h_entries(sp, z_e, w, v_e, p):
     f_e = p.rom.f_entries(zk, v_e)
     h_dyn = [f_e[i] - z_e[i][..., 1:] for i in range(sp.n)]
     h_ic = [z_e[0][..., 0] - p.z0[0], z_e[1][..., 0] - p.z0[1]]
-    h_tube = _tube_fw_e(sp, v_e) - w[..., 1:]
+    h_tube = _tube_fw_e(sp, z_e, v_e, p) - w[..., 1:]
     return h_dyn, h_ic, h_tube
 
 
@@ -180,12 +201,15 @@ def _merit_e(sp, u_e, p, lam, mu, rho):
 # ---------------------------------------------------------------------------
 
 def _assemble_e(sp, u_e, p, lam, mu, rho, grad_rho=None):
-    """Entry-form twin of fast_tube._assemble (l1/l2 tube kinds only).
+    """Entry-form twin of fast_tube._assemble (all tube kinds).
 
     Returns:
       grad_e: list b of (S,),
       D_e:    b x b nested list, lower triangle populated ((S,) or 0.0),
-      L_e:    b x b nested list of ((S-1,) or 0.0), rows = stage k+1 vars.
+      L_e:    b x b nested list of ((S-1,) or 0.0), rows = stage k+1 vars,
+      U_e:    None (l1/l2) or list b of ((S, N) or 0.0) — the sqrt(rho)-
+              scaled dense tube-row Jacobian for the Woodbury correction
+              (rows of Jt live entirely in U; D/L carry no tube terms).
     """
     if grad_rho is None:
         grad_rho = rho
@@ -330,26 +354,58 @@ def _assemble_e(sp, u_e, p, lam, mu, rho, grad_rho=None):
         D[iw][iw] = _add(D[iw][iw], rho * arow * dwc * dwc)
         grad[iw] = _sub(grad[iw], dwc * act_grad)
 
-    # ---- tube dynamics (l1/l2) --------------------------------------------
+    # ---- tube dynamics ------------------------------------------------------
     lh_t = lam_tube + grad_rho * h_tube
-    t_e = []
-    for j in range(m):
-        if sp.tube_kind == "l1":
-            t_e.append(sp.scaling * jnp.sign(v_e[j]))
-        else:
-            t_e.append(2.0 * sp.scaling * v_e[j])
-    for i in range(m):
-        for j in range(i + 1):
-            D[n + 1 + i][n + 1 + j] = _add(
-                D[n + 1 + i][n + 1 + j], rho * pad_head(t_e[i] * t_e[j]))
-    D[iw][iw] = _add(D[iw][iw], rho * one_s1)
-    for j in range(m):
-        L[iw][n + 1 + j] = _sub(L[iw][n + 1 + j], rho * t_e[j])
-        grad[n + 1 + j] = _add(grad[n + 1 + j], pad_head(t_e[j] * lh_t))
-    grad[iw] = _add(grad[iw], shift1(-lh_t))
+    U_e = None
+    if sp.tube_kind in ("l1", "l2"):
+        t_e = []
+        for j in range(m):
+            if sp.tube_kind == "l1":
+                t_e.append(sp.scaling * jnp.sign(v_e[j]))
+            else:
+                t_e.append(2.0 * sp.scaling * v_e[j])
+        for i in range(m):
+            for j in range(i + 1):
+                D[n + 1 + i][n + 1 + j] = _add(
+                    D[n + 1 + i][n + 1 + j], rho * pad_head(t_e[i] * t_e[j]))
+        D[iw][iw] = _add(D[iw][iw], rho * one_s1)
+        for j in range(m):
+            L[iw][n + 1 + j] = _sub(L[iw][n + 1 + j], rho * t_e[j])
+            grad[n + 1 + j] = _add(grad[n + 1 + j], pad_head(t_e[j] * lh_t))
+        grad[iw] = _add(grad[iw], shift1(-lh_t))
+    else:
+        # NN one-shot: the tube rows Jt = [dfw/d(z0_rest, v), -I on w[1:]]
+        # are dense across stages. GN keeps the banded D/L tube-free and
+        # carries rho * Jt^T Jt as the Woodbury factor U = sqrt(rho) Jt^T.
+        # The MLP Jacobian is one jacfwd per inner iteration — under the
+        # batch vmap this is a (B * n_in)-row matmul batch on the MXU.
+        def fw_of(zv):
+            z0r = zv[: n - 2]
+            vs = [zv[n - 2 + j * N: n - 2 + (j + 1) * N] for j in range(m)]
+            z_mod = list(z_e)
+            for i in range(2, n):
+                z_mod[i] = z_e[i].at[0].set(z0r[i - 2])
+            return _tube_fw_e(sp, z_mod, vs, p)
+
+        z0r0 = ([z_e[i][0] for i in range(2, n)])
+        zv0 = jnp.concatenate(
+            ([jnp.stack(z0r0)] if n > 2 else [jnp.zeros((0,))])
+            + [v_e[j] for j in range(m)])
+        J = jax.jacfwd(fw_of)(zv0)                     # (N, (n-2) + N*m)
+        sq = jnp.sqrt(rho)
+        U_e = [0.0] * b
+        for i in range(2, n):
+            U_e[i] = sq * jnp.zeros((S, N)).at[0].set(J[:, i - 2])
+            grad[i] = _add(grad[i], (J[:, i - 2] @ lh_t) * e0)
+        for j in range(m):
+            Jv = J[:, n - 2 + j * N: n - 2 + (j + 1) * N]   # (rows N, stages N)
+            U_e[n + 1 + j] = sq * jnp.pad(Jv.T, ((0, 1), (0, 0)))
+            grad[n + 1 + j] = _add(grad[n + 1 + j], pad_head(Jv.T @ lh_t))
+        U_e[iw] = -sq * jnp.eye(S, N, k=-1)
+        grad[iw] = _add(grad[iw], shift1(-lh_t))
 
     grad = [g if not _is0(g) else zeros_S for g in grad]
-    return grad, D, L
+    return grad, D, L, U_e
 
 
 def _bcast_N(x, N):
@@ -421,9 +477,12 @@ def factor_solve_entries(D_e, L_e, rhs_e, b, unroll=2):
     """Block-Thomas factor + forward/backward substitution, scalar entries.
 
     D_e: b x b lower lists of (S,); L_e: b x b lists of ((S-1,) or 0.0);
-    rhs_e: list b of (S,). Returns list b of (S,) solutions.
+    rhs_e: list b of (S,) — or (S, R) for R simultaneous right-hand sides
+    (stage axis LEADING; the factor is shared, the substitution broadcasts
+    over the trailing RHS axis — used by the NN-tube Woodbury correction).
+    Returns list b of solutions matching the rhs shape.
     """
-    S = rhs_e[0].shape[-1]
+    S = rhs_e[0].shape[0]
     Lmask = [[not _is0(L_e[i][j]) for j in range(b)] for i in range(b)]
 
     # stage-0 factor + forward value
@@ -486,7 +545,7 @@ def factor_solve_entries(D_e, L_e, rhs_e, b, unroll=2):
         jnp.concatenate([jnp.broadcast_to(c0_flat[e], (1,)), chol_rest[e]])
         for e in range(len(c0_flat)))
     y_all = tuple(
-        jnp.concatenate([jnp.broadcast_to(y0[i], (1,)), y_rest[i]])
+        jnp.concatenate([jnp.asarray(y0[i])[None], y_rest[i]])
         for i in range(b))
 
     # backward: x_k = y_k - chol_solve(ck, L_k^T x_{k+1})
@@ -696,11 +755,23 @@ def cr_solve_entries(D_e, L_e, rhs_e, b):
 
 def solve_staged_scalar(sp, p, u0, lb_u, ub_u, cfg: ALConfig = ALConfig(),
                         lam0=None, mu0=None, rho_init=None) -> ALSolution:
-    """Entry-form twin of fast_tube.solve_tube_fast_single (l1/l2 tube).
+    """Entry-form twin of fast_tube.solve_tube_fast_single (all tube kinds).
 
     Single scenario; vmap to batch. Matches the array path to solver
     tolerance (asserted in tests/test_fast_tube.py).
+
+    Runs under full-f32 matmul precision: the l1/l2 path is purely
+    elementwise, but the NN tube's MLP residuals, Jacobians, and Woodbury
+    products are matmuls whose bf16 default would destroy the feasibility
+    targets (same policy as al_solver / the array path).
     """
+    with jax.default_matmul_precision("highest"):
+        return _solve_staged_scalar_impl(sp, p, u0, lb_u, ub_u, cfg,
+                                         lam0, mu0, rho_init)
+
+
+def _solve_staged_scalar_impl(sp, p, u0, lb_u, ub_u, cfg, lam0, mu0,
+                              rho_init) -> ALSolution:
     n, m, N, K = sp.n, sp.m, sp.N, sp.K
     b = n + 1 + m
     S = N + 1
@@ -744,7 +815,7 @@ def solve_staged_scalar(sp, p, u0, lb_u, ub_u, cfg: ALConfig = ALConfig(),
         # _merit_e(u_e) exactly (the selected line-search candidate's value,
         # or unchanged on a failed search), saving one standalone merit
         # evaluation per inner iteration.
-        grad_e, D_e, L_e = _assemble_e(sp, u_e, p, lam, mu, rho)
+        grad_e, D_e, L_e, U_e = _assemble_e(sp, u_e, p, lam, mu, rho)
 
         fm = []
         for i in range(b):
@@ -768,15 +839,41 @@ def solve_staged_scalar(sp, p, u0, lb_u, ub_u, cfg: ALConfig = ALConfig(),
                 Lm[i][j] = _mul(L_e[i][j], fm[i][1:] * fm[j][:-1])
         gf = [grad_e[i] * fm[i] for i in range(b)]
 
-        linsolve = cfg.linsolve
-        if linsolve == "auto":
-            # measured crossover between N=50 (thomas) and N=200 (cr);
-            # see docs/PERF.md "Cyclic reduction vs block-Thomas"
-            linsolve = "cr" if S >= _CR_AUTO_MIN_S else "thomas"
-        if linsolve == "cr":
-            d_e = cr_solve_entries(Dm, Lm, [-g for g in gf], b)
+        if U_e is not None:
+            # NN tube: rank-N Woodbury on the banded factorization.
+            #   d = -(Hb + U U^T)^{-1} gf
+            #     = -(Rg - Ru (I + U^T Ru)^{-1} U^T Rg),  R* = Hb^{-1} [gf, U]
+            # One multi-RHS banded scan (factor shared across the N+1
+            # columns) + a small (N, N) Cholesky per scenario.
+            Um = [0.0 if _is0(U_e[i]) else U_e[i] * fm[i][:, None]
+                  for i in range(b)]
+            rhs_m = [jnp.concatenate(
+                [gf[i][:, None],
+                 jnp.zeros((S, N)) if _is0(Um[i]) else Um[i]], axis=1)
+                for i in range(b)]
+            sol_m = factor_solve_entries(Dm, Lm, rhs_m, b)
+            Rg = [s[:, 0] for s in sol_m]
+            Ru = [s[:, 1:] for s in sol_m]
+            C = jnp.eye(N)
+            crhs = jnp.zeros((N,))
+            for i in range(b):
+                if _is0(Um[i]):
+                    continue
+                C = C + Um[i].T @ Ru[i]
+                crhs = crhs + Um[i].T @ Rg[i]
+            cf = jax.scipy.linalg.cho_factor(C, lower=True)
+            y_c = jax.scipy.linalg.cho_solve(cf, crhs)
+            d_e = [-(Rg[i] - Ru[i] @ y_c) for i in range(b)]
         else:
-            d_e = factor_solve_entries(Dm, Lm, [-g for g in gf], b)
+            linsolve = cfg.linsolve
+            if linsolve == "auto":
+                # measured crossover between N=50 (thomas) and N=200 (cr);
+                # see docs/PERF.md "Cyclic reduction vs block-Thomas"
+                linsolve = "cr" if S >= _CR_AUTO_MIN_S else "thomas"
+            if linsolve == "cr":
+                d_e = cr_solve_entries(Dm, Lm, [-g for g in gf], b)
+            else:
+                d_e = factor_solve_entries(Dm, Lm, [-g for g in gf], b)
         d_e = [jnp.where(fm[i] > 0.0, d_e[i], 0.0) for i in range(b)]
 
         dir_deriv = 0.0
@@ -824,14 +921,18 @@ def solve_staged_scalar(sp, p, u0, lb_u, ub_u, cfg: ALConfig = ALConfig(),
         g = flat_g(g_list)
         viol = jnp.maximum(jnp.max(jnp.abs(h)),
                            jnp.max(jnp.maximum(-g, 0.0)))
-        lam_new = jnp.where(converged, lam, lam + rho * h)
-        mu_new = jnp.where(converged, mu, jnp.maximum(0.0, mu - rho * g))
+        if cfg.penalty_only:
+            lam_new, mu_new = lam, mu
+        else:
+            lam_new = jnp.where(converged, lam, lam + rho * h)
+            mu_new = jnp.where(converged, mu,
+                               jnp.maximum(0.0, mu - rho * g))
         grow = viol > cfg.viol_reduction * prev_viol
         rho_new = jnp.where(
             converged | ~grow, rho,
             jnp.minimum(rho * cfg.rho_growth, cfg.rho_max))
-        grad_e, _, _ = _assemble_e(sp, u_new, p, lam_new, mu_new, rho,
-                                   grad_rho=0.0)
+        grad_e, _, _, _ = _assemble_e(sp, u_new, p, lam_new, mu_new, rho,
+                                      grad_rho=0.0)
         gnorm = pg_norm(u_new, grad_e)
         r2 = _objective_r2(sp, z_e, w, v_e, p)
         obj_scale = 1.0 + jnp.sqrt(r2)
@@ -848,7 +949,7 @@ def solve_staged_scalar(sp, p, u0, lb_u, ub_u, cfg: ALConfig = ALConfig(),
         outer_body, init, None, length=cfg.outer_iters)
 
     z_e, w, v_e, h_dyn, h_ic, h_tube, g_list = residuals_of(u_e)
-    grad_e, _, _ = _assemble_e(sp, u_e, p, lam, mu, rho, grad_rho=0.0)
+    grad_e, _, _, _ = _assemble_e(sp, u_e, p, lam, mu, rho, grad_rho=0.0)
     r2 = _objective_r2(sp, z_e, w, v_e, p)
     x = jnp.stack(u_e, axis=-1).reshape(-1)
     return ALSolution(

@@ -125,6 +125,76 @@ def test_scalar_matches_array_path(rom_name, tube_kind):
     assert abs(float(sol_arr.viol) - float(sol_sca.viol)) < 1e-3
 
 
+@pytest.mark.parametrize("rom_name", ["SingleInt2D", "Unicycle"])
+def test_scalar_nn_matches_array_path(rom_name):
+    """NN_oneshot through the scalar-entry Woodbury path must track the
+    array-form staged solver (Unicycle exercises the z0_rest -> tube
+    coupling: its n=3 adds a yaw column to the MLP Jacobian)."""
+    from legged_gym_dev_tpu.solver.fast_tube import (
+        StagedProblem,
+        pack_staged,
+        solve_tube_fast_single_array,
+        staged_bounds,
+    )
+    from legged_gym_dev_tpu.solver.staged_scalar import solve_staged_scalar
+    from legged_gym_dev_tpu.solver.trajopt import (
+        get_tube_warm_start,
+        get_warm_start,
+    )
+    from legged_gym_dev_tpu.tube.models import MLP
+
+    prob = PROBLEM_DICT["gap"]
+    dims = {"SingleInt2D": (2, 2), "Unicycle": (3, 2)}
+    n, m = dims[rom_name]
+    pm = make_rom(rom_name, prob["dt"], [-prob["pos_max"]] * n,
+                  [prob["pos_max"]] * n, [-prob["vel_max"]] * m,
+                  [prob["vel_max"]] * m)
+    nn = MLP.create(jax.random.PRNGKey(3), H_REV + (n - 2) + (H_REV + N) * m,
+                    N, num_units=32, num_layers=2,
+                    final_activation="softplus")
+    ws, bs = list(nn.weights), list(nn.biases)
+    ws[-1] = ws[-1] * 0.5
+    bs[-1] = bs[-1] * 0.0 - 2.0
+    nn = nn.replace(weights=tuple(ws), biases=tuple(bs))
+
+    start = np.zeros(n)
+    start[:2] = np.asarray(prob["start"])[:2]
+    goal = np.zeros(n)
+    goal[:2] = np.asarray(prob["goal"])[:2]
+    p = TrajOptParams.create(pm, N, H_REV, 10 * np.eye(n), 10 * np.eye(m),
+                             start, goal, prob["obs"]["c"], prob["obs"]["r"],
+                             Qw=0.1, w_max=1.0, tube_params=nn)
+    cfg = ALConfig(outer_iters=10, inner_iters=8)
+    z0, v0 = get_warm_start("interpolate", p, N, cfg)
+    from legged_gym_dev_tpu.solver import get_tube_dynamics as _gtd
+    tube_fn = _gtd("NN_oneshot", N)
+    w0 = get_tube_warm_start("evaluate", tube_fn, z0, v0, p, N)
+    u0 = pack_staged(z0, w0, v0, n, m, N)
+    lb, ub = staged_bounds(p, n, m, N)
+    sp = StagedProblem(n=n, m=m, N=N, K=2, tube_kind="nn",
+                       scaling=0.5, track_ref=False)
+
+    sol_arr = solve_tube_fast_single_array(sp, p, u0, lb, ub, cfg)
+    sol_sca = solve_staged_scalar(sp, p, u0, lb, ub, cfg)
+    dx = float(jnp.max(jnp.abs(sol_arr.x - sol_sca.x)))
+    assert dx < 2e-3, (rom_name, dx)
+    assert abs(float(sol_arr.viol) - float(sol_sca.viol)) < 1e-3
+
+
+def test_fast_nn_tube_batched():
+    nn = make_tube_nn()
+    prob, p = gap_params(tube_params=nn)
+    B = 6
+    pb = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), p)
+    pb = pb.replace(z0=pb.z0 + jnp.linspace(-0.08, 0.08, B)[:, None])
+    out = solve_tube_fast_batched(pb, N, H_REV, tube_kind="NN_oneshot",
+                                  warm_start="nominal", tube_ws="evaluate")
+    viol = np.asarray(out.sol.viol)
+    assert out.z.shape == (B, N + 1, 2)
+    assert np.all(viol < 1e-3), viol
+    assert np.std(np.asarray(out.z[:, 0, 0])) > 0.01
+
+
 @pytest.mark.parametrize("S,b", [(1, 3), (2, 3), (7, 4), (21, 5), (51, 5)])
 def test_cyclic_reduction_matches_thomas(S, b):
     """cr_solve_entries (scan-free cyclic reduction) must solve the same

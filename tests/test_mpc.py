@@ -116,7 +116,7 @@ def test_fast_closed_loop_matches_goal_and_feasibility():
             warm_start="nominal",
         )
     )
-    z, v, w, pz_x, viol = run(p)
+    z, v, w, pz_x, viol, adopted = run(p)
     z, w, pz_x, viol = map(np.asarray, (z, w, pz_x, viol))
     assert np.all(np.isfinite(z))
     assert np.linalg.norm(z[-1] - prob["goal"]) < 0.15
