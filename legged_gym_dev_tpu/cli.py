@@ -38,32 +38,44 @@ def cmd_train(args):
 
     from . import envs  # noqa: F401 (registers presets)
     from .envs import task_registry
-    from .rl import ActorCritic
+    from .utils.config import build_policy, env_kwargs
 
-    env_kw = {"num_envs": args.num_envs}
-    task = args.task
+    env_kw = {}
+    task = args.task or "hopper_trajectory"
     max_iterations = args.max_iterations
     seed = args.seed
+    policy_cfg = None
     if args.config:
         from .utils.config import apply_train_overrides, load_config
 
         cfg = load_config(args.config)
-        task = cfg.get("task", task)
-        env_kw.update(cfg.get("env", {}))
+        # CLI --task (explicitly passed) overrides the YAML task.
+        task = args.task or cfg.get("task") or "hopper_trajectory"
+        env_kw.update(env_kwargs(cfg.get("env")))
+        policy_cfg = cfg.get("policy")
         run = cfg.get("run", {})
         max_iterations = run.get("max_iterations", max_iterations)
-        seed = run.get("seed", seed)
+        seed = cfg.get("seed", run.get("seed", seed))
         if cfg.get("train"):
             entry = task_registry.get(task)
             entry.train_cfg = apply_train_overrides(
                 entry.train_cfg, cfg["train"]
             )
+    # CLI flags override YAML (reference precedence: update_cfg_from_args
+    # after update_cfgs_from_hydra, ref helpers.py:208-231).
+    if args.num_envs is not None:
+        env_kw["num_envs"] = args.num_envs
+    env_kw.setdefault("num_envs", 4096)
     args.task, args.max_iterations, args.seed = task, max_iterations, seed
 
     env = task_registry.make_env(args.task, **env_kw)
-    model = ActorCritic(
+    # Policy architecture from the config tree (incl. `recurrent: true`
+    # -> ActorCriticRecurrent); default mirrors the reference's hopper
+    # dims (ref hopper_single_int.yaml policy block).
+    model = build_policy(
+        policy_cfg or {"actor_hidden_dims": [128, 64, 32],
+                       "critic_hidden_dims": [128, 64, 32]},
         num_actions=env.num_actions,
-        actor_hidden_dims=(128, 64, 32), critic_hidden_dims=(128, 64, 32),
     )
     mesh = None
     if args.dp_devices:
@@ -147,6 +159,16 @@ def cmd_collect(args):
 
     from .tube.datasets import RolloutData
 
+    if args.config:
+        # data-generation config tree (ref configs/data_generation/*).
+        from .utils.config import load_config
+
+        col = load_config(args.config).get("collect", {})
+        for key in ("task", "num_envs", "epochs", "episode_length_s",
+                    "raibert"):
+            if key in col:
+                setattr(args, key, col[key])
+
     if args.task == "rom_tracking":
         # Physics-free ROM sim + PD tracker (ref custom_sim.py +
         # simple_data_collection.py).
@@ -205,6 +227,59 @@ def cmd_collect(args):
               f"-> {args.out}")
 
 
+def _tube_spec_from_args(args):
+    """Resolve the tube dataset/loss/model spec from --config or flags
+    (ref: configs/tube_learning/* Hydra _target_ choices)."""
+    from .utils.config import tube_spec
+
+    if args.config:
+        from .utils.config import load_config
+
+        spec = tube_spec(load_config(args.config).get("tube"))
+    else:
+        spec = tube_spec({
+            "dataset": "oneshot" if args.oneshot else "scalar",
+            "loss": "vector" if args.oneshot else "scalar",
+            "alpha": args.alpha, "epochs": args.epochs,
+            "window": args.window, "H_fwd": args.H_fwd,
+            "H_rev": args.H_rev,
+        })
+    return spec
+
+
+def _build_tube_dataset(spec, data):
+    from .tube import datasets as D
+
+    name = spec["dataset"]
+    if name == "oneshot":
+        return D.scalar_horizon_tube_dataset(data, H_fwd=spec["H_fwd"],
+                                             H_rev=spec["H_rev"])
+    builders = {
+        "scalar": lambda: D.scalar_tube_dataset(data, N=spec["window"], dN=1),
+        "vector": lambda: D.vector_tube_dataset(data, N=spec["window"], dN=1),
+        "alpha_scalar": lambda: D.alpha_scalar_tube_dataset(
+            data, N=spec["window"], dN=1),
+        "alpha_vector": lambda: D.alpha_vector_tube_dataset(
+            data, N=spec["window"], dN=1),
+        "error": lambda: D.error_dynamics_dataset(data, N=spec["window"],
+                                                  dN=1),
+    }
+    return builders[name]()
+
+
+def _tube_loss_fn(spec):
+    from .tube import losses as L
+
+    a = spec["alpha"]
+    return {
+        "scalar": lambda fw, w, d: L.scalar_tube_loss(fw, w, d, alpha=a),
+        "vector": lambda fw, w, d: L.vector_tube_loss(fw, w, d, alpha=a),
+        "alpha_scalar": L.alpha_scalar_tube_loss,
+        "alpha_vector": L.alpha_vector_tube_loss,
+        "error": L.error_loss,
+    }[spec["loss"]]
+
+
 def cmd_train_tube(args):
     _setup(args)
     import jax
@@ -250,17 +325,16 @@ def cmd_train_tube(args):
     raw = np.load(args.data)
     data = RolloutData(z=raw["z"], v=raw["v"], pz_x=raw["pz_x"],
                        done=raw["done"])
-    if args.oneshot:
-        ds = scalar_horizon_tube_dataset(data, H_fwd=args.H_fwd,
-                                         H_rev=args.H_rev)
-    else:
-        ds = scalar_tube_dataset(data, N=args.window, dN=1)
+    spec = _tube_spec_from_args(args)
+    ds = _build_tube_dataset(spec, data)
     model = MLP.create(jax.random.PRNGKey(args.seed), ds.input_dim,
-                       ds.output_dim, num_units=128, num_layers=2)
+                       ds.output_dim, num_units=spec["num_units"],
+                       num_layers=spec["num_layers"],
+                       activation=spec["activation"])
     res = train_tube(
-        ds, model,
-        lambda fw, w, d: scalar_tube_loss(fw, w, d, alpha=args.alpha),
-        TrainConfig(epochs=args.epochs, batch_size=1024),
+        ds, model, _tube_loss_fn(spec),
+        TrainConfig(epochs=spec["epochs"], batch_size=spec["batch_size"],
+                    learning_rate=spec["lr"]),
     )
     final = [h for h in res.history if "coverage" in h][-1]
     print(json.dumps({"final": final}))
@@ -416,9 +490,12 @@ def build_parser():
     t = sub.add_parser("train")
     common(t)
     t.add_argument("--config", default="",
-                   help="YAML overlay (task/env/train/run sections)")
-    t.add_argument("--task", default="hopper_trajectory")
-    t.add_argument("--num-envs", type=int, default=4096)
+                   help="YAML overlay (configs/rl/*; sections task/env/"
+                        "policy/train/run)")
+    t.add_argument("--task", default=None,
+                   help="task name (overrides the config's task)")
+    t.add_argument("--num-envs", type=int, default=None,
+                   help="override the config/default env count")
     t.add_argument("--max-iterations", type=int, default=1500)
     t.add_argument("--log-root", default="logs")
     t.add_argument("--run-name", default="")
@@ -444,6 +521,8 @@ def build_parser():
     pl.set_defaults(fn=cmd_play)
 
     c = sub.add_parser("collect")
+    c.add_argument("--config", default="",
+                   help="data-generation YAML (configs/data_generation/*)")
     c.add_argument("--task", default="rom_tracking",
                    help="rom_tracking (ROM-only sim) or any registered "
                         "trajectory task (hopper_trajectory, "
@@ -470,6 +549,8 @@ def build_parser():
 
     tt = sub.add_parser("train-tube")
     common(tt)
+    tt.add_argument("--config", default="",
+                   help="tube-learning YAML (configs/tube_learning/*)")
     tt.add_argument("--data", default="data/rollouts.npz")
     tt.add_argument("--epochs", type=int, default=100)
     tt.add_argument("--alpha", type=float, default=0.9)

@@ -32,6 +32,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..ops.blocked_chol import blocked_cho_solve, blocked_cholesky
 from .al_solver import ALConfig, ALSolution
 
 
@@ -377,28 +378,52 @@ def _assemble_e(sp, u_e, p, lam, mu, rho, grad_rho=None):
         # NN one-shot: the tube rows Jt = [dfw/d(z0_rest, v), -I on w[1:]]
         # are dense across stages. GN keeps the banded D/L tube-free and
         # carries rho * Jt^T Jt as the Woodbury factor U = sqrt(rho) Jt^T.
-        # The MLP Jacobian is one jacfwd per inner iteration — under the
-        # batch vmap this is a (B * n_in)-row matmul batch on the MXU.
-        def fw_of(zv):
-            z0r = zv[: n - 2]
-            vs = [zv[n - 2 + j * N: n - 2 + (j + 1) * N] for j in range(m)]
-            z_mod = list(z_e)
+        # The tube-net Jacobian is computed ANALYTICALLY once per inner
+        # iteration (MLP.value_and_jacobian — an explicit matmul chain,
+        # ~10x cheaper on TPU than jacfwd's n_in tangent passes); generic
+        # callables fall back to jacfwd.
+        H_rev = p.e_hist.shape[0]
+        if hasattr(p.tube_params, "value_and_jacobian"):
+            parts = [p.e_hist]
             for i in range(2, n):
-                z_mod[i] = z_e[i].at[0].set(z0r[i - 2])
-            return _tube_fw_e(sp, z_mod, vs, p)
+                parts.append(z_e[i][..., 0:1])
+            for j in range(m):
+                parts.append(jnp.concatenate([p.v_prev[:, j], v_e[j]],
+                                             axis=-1))
+            x_in = jnp.concatenate(parts, axis=-1)
+            _, J_full = p.tube_params.value_and_jacobian(x_in)
+            off = H_rev
+            Jz = J_full[:, off: off + (n - 2)]
+            off += n - 2
+            Jv_list = []
+            for j in range(m):
+                Jv_list.append(J_full[:, off + H_rev: off + H_rev + N])
+                off += H_rev + N
+        else:
+            def fw_of(zv):
+                z0r = zv[: n - 2]
+                vs = [zv[n - 2 + j * N: n - 2 + (j + 1) * N]
+                      for j in range(m)]
+                z_mod = list(z_e)
+                for i in range(2, n):
+                    z_mod[i] = z_e[i].at[0].set(z0r[i - 2])
+                return _tube_fw_e(sp, z_mod, vs, p)
 
-        z0r0 = ([z_e[i][0] for i in range(2, n)])
-        zv0 = jnp.concatenate(
-            ([jnp.stack(z0r0)] if n > 2 else [jnp.zeros((0,))])
-            + [v_e[j] for j in range(m)])
-        J = jax.jacfwd(fw_of)(zv0)                     # (N, (n-2) + N*m)
+            z0r0 = ([z_e[i][0] for i in range(2, n)])
+            zv0 = jnp.concatenate(
+                ([jnp.stack(z0r0)] if n > 2 else [jnp.zeros((0,))])
+                + [v_e[j] for j in range(m)])
+            J = jax.jacfwd(fw_of)(zv0)                 # (N, (n-2) + N*m)
+            Jz = J[:, : n - 2]
+            Jv_list = [J[:, n - 2 + j * N: n - 2 + (j + 1) * N]
+                       for j in range(m)]
         sq = jnp.sqrt(rho)
         U_e = [0.0] * b
         for i in range(2, n):
-            U_e[i] = sq * jnp.zeros((S, N)).at[0].set(J[:, i - 2])
-            grad[i] = _add(grad[i], (J[:, i - 2] @ lh_t) * e0)
+            U_e[i] = sq * jnp.zeros((S, N)).at[0].set(Jz[:, i - 2])
+            grad[i] = _add(grad[i], (Jz[:, i - 2] @ lh_t) * e0)
         for j in range(m):
-            Jv = J[:, n - 2 + j * N: n - 2 + (j + 1) * N]   # (rows N, stages N)
+            Jv = Jv_list[j]                            # (rows N, stages N)
             U_e[n + 1 + j] = sq * jnp.pad(Jv.T, ((0, 1), (0, 0)))
             grad[n + 1 + j] = _add(grad[n + 1 + j], pad_head(Jv.T @ lh_t))
         U_e[iw] = -sq * jnp.eye(S, N, k=-1)
@@ -861,8 +886,17 @@ def _solve_staged_scalar_impl(sp, p, u0, lb_u, ub_u, cfg, lam0, mu0,
                     continue
                 C = C + Um[i].T @ Ru[i]
                 crhs = crhs + Um[i].T @ Rg[i]
-            cf = jax.scipy.linalg.cho_factor(C, lower=True)
-            y_c = jax.scipy.linalg.cho_solve(cf, crhs)
+            # Capacitance solve: XLA's batched cholesky custom call costs
+            # ~6 ms at (B, 50, 50) — the measured hot spot of the NN
+            # solve; the blocked scalar-panel factorization is ~an order
+            # of magnitude cheaper (ops/blocked_chol.py, docs/PERF.md).
+            psize = next((c for c in (10, 8, 6, 5, 4) if N % c == 0), None)
+            if psize is not None:
+                Lc = blocked_cholesky(C, p=psize)
+                y_c = blocked_cho_solve(Lc, crhs, p=psize)
+            else:
+                cf = jax.scipy.linalg.cho_factor(C, lower=True)
+                y_c = jax.scipy.linalg.cho_solve(cf, crhs)
             d_e = [-(Rg[i] - Ru[i] @ y_c) for i in range(b)]
         else:
             linsolve = cfg.linsolve

@@ -30,6 +30,17 @@ _ACTIVATIONS = {
     "none": lambda x: x,
 }
 
+# Exact derivatives of the activations above (used by the analytic
+# Jacobian below; d softplus(bx)/b / dx = sigmoid(bx)).
+_ACT_DERIVS = {
+    "softplus_b5": lambda x: jax.nn.sigmoid(5.0 * x),
+    "softplus": jax.nn.sigmoid,
+    "relu": lambda x: (x > 0.0).astype(x.dtype),
+    "tanh": lambda x: 1.0 - jnp.tanh(x) ** 2,
+    "elu": lambda x: jnp.where(x > 0.0, 1.0, jnp.exp(x)),
+    "none": lambda x: jnp.ones_like(x),
+}
+
 
 @struct.dataclass
 class MLP:
@@ -73,3 +84,34 @@ class MLP:
             x = act(x @ W + b)
         x = x @ self.weights[-1] + self.biases[-1]
         return _ACTIVATIONS[self.final_activation](x)
+
+    def value_and_jacobian(self, x: jax.Array):
+        """(out, J) with J[..., o, i] = d out_o / d x_i, computed as an
+        explicit matmul chain (W_L^T D_{L-1} ... D_1 W_1^T).
+
+        ~10x cheaper on TPU than ``jax.jacfwd``/``jacrev`` of ``__call__``
+        at the tube-solver shapes: the per-layer work is one dense
+        (hidden, hidden) @ (hidden, out) matmul on the MXU instead of
+        n_in forward tangent passes (measured in docs/PERF.md; used by the
+        NN-oneshot staged solve's per-inner-iteration linearization)."""
+        act = _ACTIVATIONS[self.activation]
+        dact = _ACT_DERIVS[self.activation]
+        h = x
+        acts_pre = []
+        for W, b in zip(self.weights[:-1], self.biases[:-1]):
+            a = h @ W + b
+            acts_pre.append(a)
+            h = act(a)
+        out_pre = h @ self.weights[-1] + self.biases[-1]
+        out = _ACTIVATIONS[self.final_activation](out_pre)
+
+        # Backward accumulation M_k = d out_pre / d (layer-k input),
+        # shaped (..., h_k, out).
+        W_last = self.weights[-1]
+        M = jnp.broadcast_to(W_last, x.shape[:-1] + W_last.shape)
+        for W, a in zip(reversed(self.weights[:-1]), reversed(acts_pre)):
+            M = jnp.einsum("ij,...jo->...io", W, dact(a)[..., :, None] * M)
+        if self.final_activation != "none":
+            M = M * _ACT_DERIVS[self.final_activation](out_pre)[..., None, :]
+        J = jnp.swapaxes(M, -1, -2)
+        return out, J
