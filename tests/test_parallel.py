@@ -98,6 +98,96 @@ def test_sharded_env_rollout(mesh):
     assert np.all(np.isfinite(np.asarray(rews)))
 
 
+def test_ppo_grad_allreduce_in_hlo(mesh):
+    """The compiled dp-sharded PPO step must contain a real XLA all-reduce
+    (the gradient reduction GSPMD inserts when sharded-batch losses meet
+    replicated params) — numerical parity alone can't distinguish 'sharded
+    as designed' from 'silently resharded to one device'."""
+    from legged_gym_dev_tpu.envs import task_registry
+    from legged_gym_dev_tpu.rl import ActorCritic, PPOConfig
+    from legged_gym_dev_tpu.rl.ppo import init_train_state, make_learn_iteration
+
+    env = task_registry.make_env("rom_tracking", num_envs=64)
+    model = ActorCritic(num_actions=2, actor_hidden_dims=(32,),
+                        critic_hidden_dims=(32,))
+    cfg = PPOConfig(num_steps=4, num_mini_batches=2, num_learning_epochs=1)
+    ts = init_train_state(model, env.num_obs, cfg, jax.random.PRNGKey(0))
+    env_state, _ = env.reset(jax.random.PRNGKey(1))
+    ts = replicate(ts, mesh)
+    env_state = shard_batch(env_state, mesh)
+
+    learn = make_learn_iteration(env, model, cfg)
+    hlo = jax.jit(learn).lower(ts, env_state).compile().as_text()
+    assert "all-reduce" in hlo or "all_reduce" in hlo
+    # And the input shardings really are what we think.
+    leaf = jax.tree_util.tree_leaves(env_state)[0]
+    assert len(leaf.sharding.device_set) == N_DEV
+    p_leaf = jax.tree_util.tree_leaves(ts.params)[0]
+    assert p_leaf.sharding.is_fully_replicated
+
+
+def test_sharded_closed_loop_mpc(mesh):
+    """The receding-horizon MPC scan runs dp-sharded: per-scenario re-solves
+    are independent, so the batch shards over the mesh with no collectives
+    and the executed trace keeps the dp sharding."""
+    from legged_gym_dev_tpu.core import DoubleInt2D, make_rom
+    from legged_gym_dev_tpu.solver import ALConfig, PROBLEM_DICT, TrajOptParams
+    from legged_gym_dev_tpu.solver.fast_tube import closed_loop_tube_mpc_fast
+
+    prob = PROBLEM_DICT["gap"]
+    N, H_REV, B = 8, 4, 16
+    pm = make_rom("SingleInt2D", prob["dt"], [-10, -10], [10, 10],
+                  [-1, -1], [1, 1])
+    p = TrajOptParams.create(
+        pm, N, H_REV, 10 * np.eye(2), 10 * np.eye(2), prob["start"],
+        prob["goal"], prob["obs"]["c"], prob["obs"]["r"], Qw=0.0, w_max=1.0,
+    )
+    pb = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), p)
+    pb = pb.replace(z0=pb.z0 + jnp.linspace(-0.1, 0.1, B)[:, None])
+    robot = DoubleInt2D.create(
+        prob["dt"], [-np.inf, -np.inf, -0.3, -0.3],
+        [np.inf, np.inf, 0.3, 0.3], [-0.5, -0.5], [0.5, 0.5],
+    )
+
+    run = jax.jit(jax.vmap(lambda pp: closed_loop_tube_mpc_fast(
+        pp, robot, tube_kind="l1", scaling=0.5, H=3, N=N, H_rev=H_REV,
+        cfg_first=ALConfig(outer_iters=3, inner_iters=3, ls_iters=4),
+        cfg_loop=ALConfig(outer_iters=1, inner_iters=2, ls_iters=4),
+        warm_start="interpolate", tube_ws=0.0,
+    )))
+    out_single = run(pb)
+    out_sharded = run(shard_batch(pb, mesh))
+    np.testing.assert_allclose(np.asarray(out_sharded[0]),
+                               np.asarray(out_single[0]), atol=1e-5)
+    assert len(out_sharded[0].sharding.device_set) == N_DEV
+
+
+def test_sharded_collect_step(mesh):
+    """The tube-data collection rollout (ROM sim + PD tracker) shards over
+    envs and keeps the dp sharding through the scan."""
+    from legged_gym_dev_tpu.controllers import DoubleSingleTracking
+    from legged_gym_dev_tpu.envs.presets import make_rom_tracking_env
+
+    env = make_rom_tracking_env(num_envs=2 * N_DEV)
+    sim = env.sim
+    policy = DoubleSingleTracking.create(4.0, 4.0, sim.model.clip_v_z)
+    state = shard_batch(sim.reset(jax.random.PRNGKey(0)), mesh,
+                        batch_size=sim.num_envs)
+
+    @jax.jit
+    def collect_step(s):
+        def env_step(s2, _):
+            obs = sim.get_observations(s2)
+            return sim.step(s2, policy(obs)), None
+
+        s, _ = jax.lax.scan(env_step, s, None, length=4)
+        return s, sim.rom.proj_z(s.root_states)
+
+    state2, proj = collect_step(state)
+    assert np.all(np.isfinite(np.asarray(proj)))
+    assert len(proj.sharding.device_set) == N_DEV
+
+
 def test_runner_with_mesh(mesh, tmp_path):
     """OnPolicyRunner trains dp-sharded over the mesh (the reference's dead
     --horovod flag done properly): env state sharded, params replicated,
