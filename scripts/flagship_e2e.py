@@ -1,0 +1,208 @@
+"""Flagship end-to-end demo: collect -> tube-train -> batched NN-tube
+closed-loop MPC, with a real-time verdict.
+
+The full deep-tube pipeline the reference runs as three separate Hydra
+drivers (data_collection_trajectory.py -> train_tube.py ->
+tube_planning_closed_loop.py, one IPOPT solve at a time on CPU), wired as
+one TPU program flow:
+
+  1. collect ROM-tracking rollouts from the physics-free ROM sim with a PD
+     tracker (ref custom_sim.py + simple_data_collection.py);
+  2. train the one-shot horizon tube network on them (ref train_tube.py,
+     configs/tube_learning/tube_learning_oneshot.yaml);
+  3. run the receding-horizon tube MPC with the learned NN tube INSIDE the
+     solver (ref tube_planning_closed_loop.py:35-200, l4casadi+IPOPT role)
+     for >=1000 scenarios at once, as one jitted lax.scan;
+  4. report per-re-solve latency against the ROM tick budget (rom dt =
+     0.1 s: the wall-clock budget a real-time re-solve must meet — the
+     reference records this timing but never publishes it, ref :80,157)
+     and tube coverage along the executed trajectories.
+
+Run on the chip:  timeout 3600 python scripts/flagship_e2e.py
+Env knobs:        B (default 1024), H (default 75), EPOCHS, COLLECT_ENVS
+"""
+import json
+import os
+import sys
+import time
+import types
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    from legged_gym_dev_tpu.utils.runtime import force_cpu, setup_tpu_runtime
+
+    if os.environ.get("E2E_CPU"):
+        force_cpu()  # smoke-test harness; real numbers come from the chip
+    else:
+        setup_tpu_runtime()
+
+    import jax
+    import jax.numpy as jnp
+
+    B = int(os.environ.get("B", "1024"))
+    H = int(os.environ.get("H", "75"))
+    N, H_REV = 50, 10
+    COLLECT_ENVS = int(os.environ.get("COLLECT_ENVS", "1024"))
+    EPOCHS = int(os.environ.get("EPOCHS", "40"))
+
+    report = {}
+
+    # ------------------------------------------------------------------
+    # 1. Collect (ref data_collection pipeline on the CustomSim analog)
+    # ------------------------------------------------------------------
+    from legged_gym_dev_tpu.controllers import DoubleSingleTracking
+    from legged_gym_dev_tpu.envs.presets import make_rom_tracking_env
+    from legged_gym_dev_tpu.tube.collect import collect_epochs
+
+    t0 = time.perf_counter()
+    env = make_rom_tracking_env(num_envs=COLLECT_ENVS)
+    sim = env.sim
+    policy = DoubleSingleTracking.create(4.0, 4.0, sim.model.clip_v_z)
+    data = collect_epochs(sim, policy, jax.random.PRNGKey(0),
+                          episode_length_s=10.0, epochs=2)
+    t_collect = time.perf_counter() - t0
+    n_steps = data.z.shape[0] * data.v.shape[1]
+    report["collect"] = {
+        "episodes": int(data.z.shape[0]),
+        "rom_steps": int(n_steps),
+        "wall_s": round(t_collect, 2),
+    }
+    print(f"[1/4] collected {data.z.shape[0]} episodes "
+          f"({n_steps} ROM steps) in {t_collect:.1f}s", flush=True)
+
+    # ------------------------------------------------------------------
+    # 2. Train the one-shot horizon tube net (ref train_tube.py)
+    # ------------------------------------------------------------------
+    from legged_gym_dev_tpu.tube.datasets import scalar_horizon_tube_dataset
+    from legged_gym_dev_tpu.tube.losses import scalar_tube_loss
+    from legged_gym_dev_tpu.tube.models import MLP
+    from legged_gym_dev_tpu.tube.train import TrainConfig, train_tube
+
+    t0 = time.perf_counter()
+    ds = scalar_horizon_tube_dataset(data, H_fwd=N, H_rev=H_REV)
+    model = MLP.create(jax.random.PRNGKey(1), ds.input_dim, ds.output_dim,
+                       num_units=128, num_layers=2,
+                       final_activation="softplus")
+    res = train_tube(
+        ds, model,
+        lambda fw, w, x: scalar_tube_loss(fw, w, alpha=0.9),
+        TrainConfig(epochs=EPOCHS, batch_size=1024, eval_every=10),
+    )
+    t_train = time.perf_counter() - t0
+    last_eval = next(r for r in reversed(res.history) if "coverage" in r)
+    report["tube_train"] = {
+        "epochs": EPOCHS,
+        "one_step_coverage": round(last_eval["coverage"], 4),
+        "final_loss": round(last_eval["loss"], 5),
+        "wall_s": round(t_train, 2),
+    }
+    print(f"[2/4] tube net trained: coverage={last_eval['coverage']:.3f} "
+          f"loss={last_eval['loss']:.4f} in {t_train:.1f}s", flush=True)
+
+    # ------------------------------------------------------------------
+    # 3. Batched NN-tube closed-loop MPC (ref tube_planning_closed_loop.py)
+    # ------------------------------------------------------------------
+    from legged_gym_dev_tpu.core import DoubleInt2D, make_rom
+    from legged_gym_dev_tpu.solver import ALConfig, PROBLEM_DICT, TrajOptParams
+    from legged_gym_dev_tpu.solver.fast_tube import closed_loop_tube_mpc_fast
+
+    prob = PROBLEM_DICT["gap"]
+    pm = make_rom("SingleInt2D", prob["dt"], [-prob["pos_max"]] * 2,
+                  [prob["pos_max"]] * 2, [-prob["vel_max"]] * 2,
+                  [prob["vel_max"]] * 2)
+    p = TrajOptParams.create(
+        pm, N, H_REV, 10 * np.eye(2), 10 * np.eye(2),
+        prob["start"], prob["goal"], prob["obs"]["c"], prob["obs"]["r"],
+        Qw=0.1, w_max=1.0, tube_params=res.best_model,
+    )
+    rng = np.random.default_rng(0)
+    p_batch = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), p)
+    p_batch = p_batch.replace(
+        z0=p_batch.z0 + jnp.asarray(rng.uniform(-0.15, 0.15, (B, 2)),
+                                    jnp.float32),
+        zf=p_batch.zf + jnp.asarray(rng.uniform(-0.15, 0.15, (B, 2)),
+                                    jnp.float32),
+        obs_r=p_batch.obs_r * jnp.asarray(rng.uniform(0.85, 1.0, (B, 2)),
+                                          jnp.float32),
+    )
+    robot = DoubleInt2D.create(
+        prob["dt"], [-np.inf, -np.inf, -0.3, -0.3],
+        [np.inf, np.inf, 0.3, 0.3], [-0.5, -0.5], [0.5, 0.5],
+    )
+
+    run = jax.jit(jax.vmap(lambda pp: closed_loop_tube_mpc_fast(
+        pp, robot, tube_kind="NN_oneshot", scaling=0.5, H=H, N=N,
+        H_rev=H_REV,
+        cfg_first=ALConfig(),
+        cfg_loop=ALConfig(outer_iters=5, inner_iters=6),
+        warm_start="nominal", tube_ws="evaluate",
+    )))
+
+    t0 = time.perf_counter()
+    out = run(p_batch)
+    np.asarray(out[0])
+    t_compile_and_first = time.perf_counter() - t0
+    # warmup burst (one-time executable finalization on the remote backend)
+    for _ in range(2):
+        out = run(p_batch)
+    np.asarray(out[0])
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run(p_batch)
+        np.asarray(out[0])
+        ts.append(time.perf_counter() - t0)
+    t_mpc = min(ts)
+    z_t, v_t, w_t, pzx_t, viols, adopts = [np.asarray(o) for o in out]
+
+    # The closed loop = 1 full solve + H warm-started re-solves; the
+    # real-time number that matters is the per-tick re-solve latency.
+    per_resolve_batched = t_mpc / (H + 1)
+    budget = prob["dt"]  # ROM tick = 0.1 s (ref tube_planning_closed_loop)
+    goal_dist = np.linalg.norm(z_t[:, -1] - np.asarray(prob["goal"]), axis=-1)
+    report["mpc"] = {
+        "scenarios": B,
+        "H": H,
+        "wall_s": round(t_mpc, 3),
+        "compile_plus_first_s": round(t_compile_and_first, 1),
+        "per_resolve_batched_s": round(per_resolve_batched, 4),
+        "rom_tick_budget_s": budget,
+        "realtime_batched": bool(per_resolve_batched < budget),
+        "resolves_per_s": round(B * (H + 1) / t_mpc, 1),
+        "adopted_frac": float(adopts.mean()),
+        "max_adopted_viol": float(np.where(adopts, viols, 0.0).max()),
+        "median_goal_dist": float(np.median(goal_dist)),
+        "goal_reach_frac_10cm": float(np.mean(goal_dist < 0.1)),
+    }
+    print(f"[3/4] closed-loop MPC: {B} scenarios x {H} steps in "
+          f"{t_mpc:.2f}s -> {per_resolve_batched*1000:.1f} ms/re-solve "
+          f"(budget {budget*1000:.0f} ms, "
+          f"{'REAL-TIME' if per_resolve_batched < budget else 'OVER BUDGET'})",
+          flush=True)
+
+    # ------------------------------------------------------------------
+    # 4. Tube coverage along the executed trajectories
+    # ------------------------------------------------------------------
+    from legged_gym_dev_tpu.evaluation import evaluate_tube_on_mpc_trace
+
+    trace = types.SimpleNamespace(
+        z=z_t.reshape(-1, z_t.shape[-1]),
+        w=w_t.reshape(-1),
+        pz_x=pzx_t.reshape(-1, pzx_t.shape[-1]),
+        viol=viols, converged=viols < 1e-3,
+    )
+    cov = evaluate_tube_on_mpc_trace(trace)
+    report["tube_on_trace"] = {k: round(v, 4) for k, v in cov.items()}
+    print(f"[4/4] executed-trajectory tube coverage={cov['coverage']:.3f} "
+          f"mean_width={cov['mean_width']:.3f} "
+          f"mean_error={cov['mean_error']:.3f}", flush=True)
+
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -85,9 +85,25 @@ def main():
         return jax.lax.fori_loop(
             0, ITERS, lambda i, c: once(zv + 1e-6 * i) + 0.0 * c, once(zv))
 
-    timeit("jacfwd highest x200", jax.jit(jac_fwd_hi), zv)
-    timeit("jacrev highest x200", jax.jit(jac_rev_hi), zv)
-    timeit("jacrev default x200", jax.jit(jac_rev_def), zv)
+    if os.environ.get("PROF_JAC_AD"):
+        timeit("jacfwd highest x200", jax.jit(jac_fwd_hi), zv)
+        timeit("jacrev highest x200", jax.jit(jac_rev_hi), zv)
+        timeit("jacrev default x200", jax.jit(jac_rev_def), zv)
+
+    # The analytic matmul-chain Jacobian actually used by the solver.
+    def jac_analytic(zv):
+        def once(z):
+            def one(zi, e, vp):
+                vs = zi.reshape(m, N)
+                x = jnp.concatenate(
+                    [e, jnp.concatenate([vp[:, 0], vs[0]]),
+                     jnp.concatenate([vp[:, 1], vs[1]])])
+                return nn.value_and_jacobian(x)[1]
+            return jax.vmap(one, (0, 0, 0))(z, e_hist, vprev)
+        return jax.lax.fori_loop(
+            0, ITERS, lambda i, c: once(zv + 1e-6 * i) + 0.0 * c, once(zv))
+
+    timeit("value_and_jacobian x200", jax.jit(jac_analytic), zv)
 
     # --- MLP forward (merit) 11x per inner ---
     def fwd_11(zv):
@@ -114,15 +130,37 @@ def main():
             return jax.lax.fori_loop(
                 0, ITERS, lambda i, c: once(C + 1e-6 * i) + 0.0 * c, once(C))
 
-    def lu_loop(C, rhs):
-        with jax.default_matmul_precision("highest"):
-            def once(C):
-                return jnp.linalg.solve(C, rhs)
-            return jax.lax.fori_loop(
-                0, ITERS, lambda i, c: once(C + 1e-6 * i) + 0.0 * c, once(C))
+    def blocked_loop(C, rhs):
+        from legged_gym_dev_tpu.ops.blocked_chol import (
+            blocked_cho_solve, blocked_cholesky,
+        )
 
-    timeit("cho_factor+solve (B,50,50) x200", jax.jit(cho_loop), C, rhs)
-    timeit("lu solve (B,50,50) x200", jax.jit(lu_loop), C, rhs)
+        def once(C):
+            Lc = jax.vmap(lambda Ci: blocked_cholesky(Ci, p=10))(C)
+            return jax.vmap(lambda Li, ri: blocked_cho_solve(Li, ri, p=10))(
+                Lc, rhs)
+        return jax.lax.fori_loop(
+            0, ITERS, lambda i, c: once(C + 1e-6 * i) + 0.0 * c, once(C))
+
+    if os.environ.get("PROF_CHOL_XLA"):
+        timeit("cho_factor+solve (B,50,50) x200", jax.jit(cho_loop), C, rhs)
+    timeit("blocked chol+solve (B,50,50) x200", jax.jit(blocked_loop), C, rhs)
+
+    # Capacitance assembly: 3x batched (N, S) @ (S, N) matmuls + matvecs.
+    Um3 = jax.random.normal(key, (3, B, S, 50)) * 0.1
+    Ru3 = jax.random.normal(key, (3, B, S, 50)) * 0.1
+
+    def cap_loop(Um3, Ru3):
+        def once(Um3):
+            C = jnp.eye(50)
+            for i in range(3):
+                C = C + jnp.einsum("bsi,bsj->bij", Um3[i], Ru3[i])
+            return C
+        return jax.lax.fori_loop(
+            0, ITERS, lambda i, c: once(Um3 + 1e-6 * i) + 0.0 * c,
+            once(Um3))
+
+    timeit("capacitance 3x UtRu x200", jax.jit(cap_loop), Um3, Ru3)
 
     # --- banded Thomas: single vs multi RHS x200 ---
     from legged_gym_dev_tpu.solver.staged_scalar import factor_solve_entries
