@@ -21,3 +21,13 @@ CasADi/IPOPT tube trajectory optimization):
 """
 
 __version__ = "0.1.0"
+
+# Headless GL for mujoco.Renderer (utils/video.py): this image has Mesa's
+# EGL but no display; the surfaceless platform is the only one whose
+# eglInitialize succeeds. mujoco reads MUJOCO_GL at import time, so the
+# default must be in place before anything imports mujoco.
+import os as _os
+
+_os.environ.setdefault("MUJOCO_GL", "egl")
+_os.environ.setdefault("EGL_PLATFORM", "surfaceless")
+del _os

@@ -151,6 +151,15 @@ def cmd_play(args):
     if args.mat:
         logger.save_mat(args.mat)
         print(f"state log saved: {args.mat}")
+    if args.video:
+        from .utils.video import record_rollout_video
+
+        path = record_rollout_video(
+            env, policy, jax.random.PRNGKey(1),
+            steps=args.video_steps or min(args.steps, 250),
+            out_path=args.video,
+        )
+        print(f"rollout video saved: {path}")
 
 
 def cmd_collect(args):
@@ -518,6 +527,11 @@ def build_parser():
     pl.add_argument("--plot", default="")
     pl.add_argument("--mat", default="",
                     help=".mat state-log export (ref play.py:202-212)")
+    pl.add_argument("--video", default="",
+                    help="render the rollout to .mp4/.gif via "
+                    "mujoco.Renderer (ref play.py:88-110 frame capture)")
+    pl.add_argument("--video-steps", type=int, default=0,
+                    help="frames to record (default: min(steps, 250))")
     pl.set_defaults(fn=cmd_play)
 
     c = sub.add_parser("collect")

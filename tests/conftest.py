@@ -18,6 +18,11 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# Headless GL for mujoco.Renderer (no display in this image; Mesa EGL
+# initializes only on the surfaceless platform). Must precede any
+# `import mujoco` — mujoco picks its GL backend at import time.
+os.environ.setdefault("MUJOCO_GL", "egl")
+os.environ.setdefault("EGL_PLATFORM", "surfaceless")
 
 import jax  # noqa: E402
 
