@@ -66,6 +66,19 @@ class ALConfig:
     # at N=50 (8.9k vs 8.2k solves/s, B=4096), cr wins 1.3-1.35x at N=200
     # where the scan's sequential depth dominates.
     linsolve: str = struct.field(pytree_node=False, default="auto")
+    # NN-oneshot Woodbury basis refresh (staged_scalar.py only):
+    # "inner" = exact — full tube-net Jacobian + (N+1)-RHS banded solve +
+    # capacitance factorization every inner iteration;
+    # "outer" = refresh the basis once per outer iteration; measured
+    # (docs/PERF.md) the 10-inner-stale basis collapses feasibility
+    # (bound-crossing tube rows invalidate the frozen masked U) — kept for
+    # the record;
+    # an int k >= 1 = refresh every k inner iterations (chunked inner
+    # scans). Between refreshes the correction reuses the frozen basis
+    # (inexact Newton, guarded by the line search) with exact per-inner
+    # gradients via one VJP (MLP.value_and_vjp).
+    nn_basis_refresh: object = struct.field(pytree_node=False,
+                                            default="inner")
 
 
 class ALSolution(NamedTuple):

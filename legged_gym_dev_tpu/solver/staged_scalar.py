@@ -21,11 +21,21 @@ Replaces IPOPT+MUMPS' sparse factorization (ref: trajopt/tube_trajopt.py:
 ``NN_oneshot`` mode (ref: tube_trajopt.py:543-570, where the learned tube
 MLP is embedded in the NLP via l4casadi C++ codegen): the dense NN tube
 rows couple all stages, so they ride as a rank-N Woodbury correction on
-the banded factorization — the MLP Jacobian is computed once per inner
-iteration with batched ``jacfwd``, the banded solve handles
-``[grad, U]`` as one multi-RHS scan, and the (N, N) capacitance system
-is a small batched Cholesky. Verified against the generic dense solver
-and the array-form staged path in tests/test_fast_tube.py.
+the banded factorization. Two refresh policies (ALConfig.nn_basis_refresh):
+
+- "inner" (exact): per inner iteration, the MLP Jacobian (analytic matmul
+  chain, MLP.value_and_jacobian), one (1+N)-multi-RHS banded scan for
+  ``[grad, U]`` (factor shared), and a blocked (N, N) capacitance
+  Cholesky.
+- "outer": the basis (U, Hb^{-1}U, chol C) is refreshed once per OUTER
+  iteration — multipliers and rho only change at outer boundaries — and
+  inner steps solve just the fresh gradient column, correcting through
+  the frozen basis (inexact Newton, guarded by the line search); the
+  per-inner gradient stays exact via one VJP (MLP.value_and_vjp).
+
+Verified against the generic dense solver and the array-form staged path
+in tests/test_fast_tube.py; outer-vs-inner parity in
+tests/test_nn_outer_basis.py.
 """
 from __future__ import annotations
 
@@ -201,7 +211,7 @@ def _merit_e(sp, u_e, p, lam, mu, rho):
 # entry-form GN assembly
 # ---------------------------------------------------------------------------
 
-def _assemble_e(sp, u_e, p, lam, mu, rho, grad_rho=None):
+def _assemble_e(sp, u_e, p, lam, mu, rho, grad_rho=None, nn_need_U=True):
     """Entry-form twin of fast_tube._assemble (all tube kinds).
 
     Returns:
@@ -211,6 +221,11 @@ def _assemble_e(sp, u_e, p, lam, mu, rho, grad_rho=None):
       U_e:    None (l1/l2) or list b of ((S, N) or 0.0) — the sqrt(rho)-
               scaled dense tube-row Jacobian for the Woodbury correction
               (rows of Jt live entirely in U; D/L carry no tube terms).
+
+    ``nn_need_U=False`` (NN tube only) skips the full tube-net Jacobian and
+    computes the exact gradient through one VJP instead — used by the
+    per-outer Woodbury-basis mode where U is refreshed outside the inner
+    loop (ALConfig.nn_basis_refresh='outer').
     """
     if grad_rho is None:
         grad_rho = rho
@@ -383,6 +398,52 @@ def _assemble_e(sp, u_e, p, lam, mu, rho, grad_rho=None):
         # ~10x cheaper on TPU than jacfwd's n_in tangent passes); generic
         # callables fall back to jacfwd.
         H_rev = p.e_hist.shape[0]
+        if not nn_need_U:
+            # Gradient-only NN contribution: one VJP (J^T lh_t) — the
+            # Woodbury basis U is managed by the caller per outer.
+            if hasattr(p.tube_params, "value_and_vjp"):
+                parts = [p.e_hist]
+                for i in range(2, n):
+                    parts.append(z_e[i][..., 0:1])
+                for j in range(m):
+                    parts.append(jnp.concatenate([p.v_prev[:, j], v_e[j]],
+                                                 axis=-1))
+                x_in = jnp.concatenate(parts, axis=-1)
+                _, gvec = p.tube_params.value_and_vjp(x_in, lh_t)
+            else:
+                def fw_of_full(zv):
+                    z0r = zv[: n - 2]
+                    vs = [zv[n - 2 + j * N: n - 2 + (j + 1) * N]
+                          for j in range(m)]
+                    z_mod = list(z_e)
+                    for i in range(2, n):
+                        z_mod[i] = z_e[i].at[0].set(z0r[i - 2])
+                    return _tube_fw_e(sp, z_mod, vs, p)
+
+                z0r0 = [z_e[i][0] for i in range(2, n)]
+                zv0 = jnp.concatenate(
+                    ([jnp.stack(z0r0)] if n > 2 else [jnp.zeros((0,))])
+                    + [v_e[j] for j in range(m)])
+                _, pullback = jax.vjp(fw_of_full, zv0)
+                gsm = pullback(lh_t)[0]
+                # Re-layout to the value_and_vjp input convention.
+                gvec = jnp.concatenate(
+                    [jnp.zeros((H_rev,)), gsm[: n - 2]]
+                    + [jnp.concatenate([jnp.zeros((H_rev,)),
+                                        gsm[n - 2 + j * N:
+                                            n - 2 + (j + 1) * N]])
+                       for j in range(m)])
+            off = H_rev
+            for i in range(2, n):
+                grad[i] = _add(grad[i], gvec[off + i - 2] * e0)
+            off += n - 2
+            for j in range(m):
+                gv_j = gvec[off + H_rev: off + H_rev + N]
+                grad[n + 1 + j] = _add(grad[n + 1 + j], pad_head(gv_j))
+                off += H_rev + N
+            grad[iw] = _add(grad[iw], shift1(-lh_t))
+            grad = [g if not _is0(g) else zeros_S for g in grad]
+            return grad, D, L, None
         if hasattr(p.tube_params, "value_and_jacobian"):
             parts = [p.e_hist]
             for i in range(2, n):
@@ -431,6 +492,11 @@ def _assemble_e(sp, u_e, p, lam, mu, rho, grad_rho=None):
 
     grad = [g if not _is0(g) else zeros_S for g in grad]
     return grad, D, L, U_e
+
+
+def _cap_psize(N):
+    """Panel size for the blocked capacitance Cholesky (None -> XLA)."""
+    return next((c for c in (10, 8, 6, 5, 4) if N % c == 0), None)
 
 
 def _bcast_N(x, N):
@@ -835,13 +901,16 @@ def _solve_staged_scalar_impl(sp, p, u0, lb_u, ub_u, cfg, lam0, mu0,
             gn = jnp.maximum(gn, jnp.max(jnp.abs(pg)))
         return gn
 
-    def inner_step(u_e, merit, lam, mu, rho):
-        # `merit` is carried through the inner scan: it equals
-        # _merit_e(u_e) exactly (the selected line-search candidate's value,
-        # or unchanged on a failed search), saving one standalone merit
-        # evaluation per inner iteration.
-        grad_e, D_e, L_e, U_e = _assemble_e(sp, u_e, p, lam, mu, rho)
+    nn_refresh = cfg.nn_basis_refresh
+    nn_frozen_basis = sp.tube_kind == "nn" and nn_refresh != "inner"
+    # chunk size between basis refreshes: whole inner loop for "outer",
+    # else the given k.
+    nn_chunk = (cfg.inner_iters if nn_refresh == "outer"
+                else int(nn_refresh) if nn_frozen_basis else 0)
 
+    def masked_system(u_e, grad_e, D_e, L_e, rho):
+        """Bound-freeze mask + masked GN system (shared by the inner step
+        and the per-outer Woodbury basis build)."""
         fm = []
         for i in range(b):
             at_lb = (u_e[i] <= lb_e[i] + eps_e[i]) & (grad_e[i] > 0.0)
@@ -863,8 +932,63 @@ def _solve_staged_scalar_impl(sp, p, u0, lb_u, ub_u, cfg, lam0, mu0,
             for j in range(b):
                 Lm[i][j] = _mul(L_e[i][j], fm[i][1:] * fm[j][:-1])
         gf = [grad_e[i] * fm[i] for i in range(b)]
+        return fm, Dm, Lm, gf
 
-        if U_e is not None:
+    def woodbury_basis(u_e, lam, mu, rho):
+        """Per-outer frozen Woodbury basis (Um, Ru = Hb^{-1} U, chol of
+        C = I + U^T Hb^{-1} U) for the NN tube rows."""
+        grad_e, D_e, L_e, U_e = _assemble_e(sp, u_e, p, lam, mu, rho)
+        fm, Dm, Lm, _ = masked_system(u_e, grad_e, D_e, L_e, rho)
+        Um = [0.0 if _is0(U_e[i]) else U_e[i] * fm[i][:, None]
+              for i in range(b)]
+        rhs_m = [jnp.zeros((S, N)) if _is0(Um[i]) else Um[i]
+                 for i in range(b)]
+        Ru = factor_solve_entries(Dm, Lm, rhs_m, b)
+        C = jnp.eye(N)
+        for i in range(b):
+            if _is0(Um[i]):
+                continue
+            C = C + Um[i].T @ Ru[i]
+        psize = _cap_psize(N)
+        if psize is not None:
+            cholC = blocked_cholesky(C, p=psize)
+        else:
+            cholC = jnp.linalg.cholesky(C)
+        return Um, Ru, cholC
+
+    def inner_step(u_e, merit, lam, mu, rho, wb=None):
+        # `merit` is carried through the inner scan: it equals
+        # _merit_e(u_e) exactly (the selected line-search candidate's value,
+        # or unchanged on a failed search), saving one standalone merit
+        # evaluation per inner iteration.
+        # ``wb``: frozen per-outer Woodbury basis (Um, Ru, cholC) — see
+        # outer_body; when given, the assemble skips the tube-net Jacobian
+        # (gradient via VJP) and the correction reuses the basis.
+        grad_e, D_e, L_e, U_e = _assemble_e(sp, u_e, p, lam, mu, rho,
+                                            nn_need_U=wb is None)
+        fm, Dm, Lm, gf = masked_system(u_e, grad_e, D_e, L_e, rho)
+
+        if wb is not None:
+            # Frozen per-outer Woodbury basis: fresh banded solve for the
+            # gradient column only, correction through the basis computed
+            # at the start of this outer (inexact Newton; the line search
+            # guards descent, multipliers/rho are outer-constant so the
+            # basis scaling is consistent).
+            Um, Ru, cholC = wb
+            # Rg = -Hb^{-1} gf (fresh factor);  d = Rg + Ru C^{-1} U^T (-Rg)
+            Rg = factor_solve_entries(Dm, Lm, [-g for g in gf], b)
+            crhs = jnp.zeros((N,))
+            for i in range(b):
+                if _is0(Um[i]):
+                    continue
+                crhs = crhs - Um[i].T @ Rg[i]
+            psize = _cap_psize(N)
+            if psize is not None:
+                y_c = blocked_cho_solve(cholC, crhs, p=psize)
+            else:
+                y_c = jax.scipy.linalg.cho_solve((cholC, True), crhs)
+            d_e = [Rg[i] + Ru[i] @ y_c for i in range(b)]
+        elif U_e is not None:
             # NN tube: rank-N Woodbury on the banded factorization.
             #   d = -(Hb + U U^T)^{-1} gf
             #     = -(Rg - Ru (I + U^T Ru)^{-1} U^T Rg),  R* = Hb^{-1} [gf, U]
@@ -890,7 +1014,7 @@ def _solve_staged_scalar_impl(sp, p, u0, lb_u, ub_u, cfg, lam0, mu0,
             # ~6 ms at (B, 50, 50) — the measured hot spot of the NN
             # solve; the blocked scalar-panel factorization is ~an order
             # of magnitude cheaper (ops/blocked_chol.py, docs/PERF.md).
-            psize = next((c for c in (10, 8, 6, 5, 4) if N % c == 0), None)
+            psize = _cap_psize(N)
             if psize is not None:
                 Lc = blocked_cholesky(C, p=psize)
                 y_c = blocked_cho_solve(Lc, crhs, p=psize)
@@ -933,20 +1057,36 @@ def _solve_staged_scalar_impl(sp, p, u0, lb_u, ub_u, cfg, lam0, mu0,
     def outer_body(carry, _):
         u_e, lam, mu, rho, prev_viol, converged, outer_used = carry
 
-        def inner_body(carry2, _):
-            u2, m2, frozen = carry2
-            u3, m3, gnorm = inner_step(u2, m2, lam, mu, rho)
-            frozen2 = frozen | (gnorm < cfg.tol_grad * 0.1)
-            u4 = tuple(jnp.where(frozen, u2[i], u3[i]) for i in range(b))
-            m4 = jnp.where(frozen, m2, m3)
-            return (u4, m4, frozen2), None
+        def inner_body_wb(wb):
+            def inner_body(carry2, _):
+                u2, m2, frozen = carry2
+                u3, m3, gnorm = inner_step(u2, m2, lam, mu, rho, wb=wb)
+                frozen2 = frozen | (gnorm < cfg.tol_grad * 0.1)
+                u4 = tuple(jnp.where(frozen, u2[i], u3[i])
+                           for i in range(b))
+                m4 = jnp.where(frozen, m2, m3)
+                return (u4, m4, frozen2), None
+            return inner_body
 
         # One merit eval per outer seeds the carried value (multipliers and
         # penalty change only at outer boundaries).
         merit0 = _merit_e(sp, u_e, p, lam, mu, rho)
-        (u_new, _, _), _ = jax.lax.scan(
-            inner_body, (u_e, merit0, jnp.asarray(False)), None,
-            length=cfg.inner_iters)
+        carry2 = (u_e, merit0, jnp.asarray(False))
+        if nn_frozen_basis:
+            # Chunked inner loop: rebuild the Woodbury basis every
+            # nn_chunk steps at the current iterate, run the chunk with it
+            # frozen.
+            done = 0
+            while done < cfg.inner_iters:
+                step = min(nn_chunk, cfg.inner_iters - done)
+                wb = woodbury_basis(carry2[0], lam, mu, rho)
+                carry2, _ = jax.lax.scan(inner_body_wb(wb), carry2, None,
+                                         length=step)
+                done += step
+        else:
+            carry2, _ = jax.lax.scan(inner_body_wb(None), carry2, None,
+                                     length=cfg.inner_iters)
+        u_new = carry2[0]
         u_new = tuple(jnp.where(converged, u_e[i], u_new[i])
                       for i in range(b))
 
@@ -966,7 +1106,7 @@ def _solve_staged_scalar_impl(sp, p, u0, lb_u, ub_u, cfg, lam0, mu0,
             converged | ~grow, rho,
             jnp.minimum(rho * cfg.rho_growth, cfg.rho_max))
         grad_e, _, _, _ = _assemble_e(sp, u_new, p, lam_new, mu_new, rho,
-                                      grad_rho=0.0)
+                                      grad_rho=0.0, nn_need_U=False)
         gnorm = pg_norm(u_new, grad_e)
         r2 = _objective_r2(sp, z_e, w, v_e, p)
         obj_scale = 1.0 + jnp.sqrt(r2)
@@ -983,7 +1123,8 @@ def _solve_staged_scalar_impl(sp, p, u0, lb_u, ub_u, cfg, lam0, mu0,
         outer_body, init, None, length=cfg.outer_iters)
 
     z_e, w, v_e, h_dyn, h_ic, h_tube, g_list = residuals_of(u_e)
-    grad_e, _, _, _ = _assemble_e(sp, u_e, p, lam, mu, rho, grad_rho=0.0)
+    grad_e, _, _, _ = _assemble_e(sp, u_e, p, lam, mu, rho, grad_rho=0.0,
+                                  nn_need_U=False)
     r2 = _objective_r2(sp, z_e, w, v_e, p)
     x = jnp.stack(u_e, axis=-1).reshape(-1)
     return ALSolution(

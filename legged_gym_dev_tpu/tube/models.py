@@ -115,3 +115,29 @@ class MLP:
             M = M * _ACT_DERIVS[self.final_activation](out_pre)[..., None, :]
         J = jnp.swapaxes(M, -1, -2)
         return out, J
+
+    def value_and_vjp(self, x: jax.Array, ct: jax.Array):
+        """(out, J^T ct): one explicit backward pass — O(width) matvecs
+        instead of the O(n_out * width) matmuls of the full Jacobian.
+
+        Used by the NN-oneshot staged solve for exact per-inner-iteration
+        gradients when the Woodbury basis (which needs the full J) is only
+        refreshed once per outer (ALConfig.nn_basis_refresh='outer')."""
+        act = _ACTIVATIONS[self.activation]
+        dact = _ACT_DERIVS[self.activation]
+        h = x
+        acts_pre = []
+        for W, b in zip(self.weights[:-1], self.biases[:-1]):
+            a = h @ W + b
+            acts_pre.append(a)
+            h = act(a)
+        out_pre = h @ self.weights[-1] + self.biases[-1]
+        out = _ACTIVATIONS[self.final_activation](out_pre)
+
+        u = ct
+        if self.final_activation != "none":
+            u = u * _ACT_DERIVS[self.final_activation](out_pre)
+        u = jnp.einsum("io,...o->...i", self.weights[-1], u)
+        for W, a in zip(reversed(self.weights[:-1]), reversed(acts_pre)):
+            u = jnp.einsum("io,...o->...i", W, dact(a) * u)
+        return out, u

@@ -58,10 +58,12 @@ def main():
             obs_r=pb.obs_r * jnp.asarray(rng.uniform(0.85, 1.0, (B, 2)), jnp.float32),
         )
 
-    def run(tag, solve_single, B):
+    def run(tag, solve_single, B, cfg_run=None):
+        cfg_l = cfg_run or cfg
+
         def one(pp):
             return ft.solve_tube_fast(
-                pp, N, H_REV, tube_kind="NN_oneshot", cfg=cfg,
+                pp, N, H_REV, tube_kind="NN_oneshot", cfg=cfg_l,
                 warm_start="nominal", tube_ws="evaluate")
         # Patch dispatch: solve_single decides scalar vs array.
         orig = ft.solve_tube_fast_single
@@ -109,8 +111,10 @@ def main():
                                                lam0=lam0, mu0=mu0,
                                                rho_init=rho_init)
 
+    cfg_outer = ALConfig(nn_basis_refresh="outer")
+
     which = os.environ.get("NN_BENCH", "scalar1024,array1024,scalar4096")
-    out_s = out_a = None
+    out_s = out_a = out_o = None
     for item in which.split(","):
         if item == "scalar1024":
             out_s = run("scalar", scalar_single, 1024)
@@ -120,10 +124,18 @@ def main():
             run("scalar", scalar_single, 4096)
         elif item == "array4096":
             run("array ", array_single, 4096)
+        elif item == "outer1024":
+            out_o = run("outer ", scalar_single, 1024, cfg_run=cfg_outer)
+        elif item == "outer4096":
+            run("outer ", scalar_single, 4096, cfg_run=cfg_outer)
     if out_s is not None and out_a is not None:
         dz = np.abs(np.asarray(out_s.z) - np.asarray(out_a.z)).max()
         dw = np.abs(np.asarray(out_s.w) - np.asarray(out_a.w)).max()
         print(f"scalar-vs-array parity: dz={dz:.3g} dw={dw:.3g}", flush=True)
+    if out_s is not None and out_o is not None:
+        dz = np.abs(np.asarray(out_s.z) - np.asarray(out_o.z)).max()
+        dw = np.abs(np.asarray(out_s.w) - np.asarray(out_o.w)).max()
+        print(f"outer-vs-inner parity: dz={dz:.3g} dw={dw:.3g}", flush=True)
 
 
 if __name__ == "__main__":
