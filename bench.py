@@ -35,13 +35,15 @@ def main():
     import os
 
     N, H_REV = 50, 10
-    # Scenarios per solve batch (target: >=1000 per host). Measured best
-    # throughput at 4096 (~8.7k solves/s with the scalar-entry staged
-    # solver; 1024 gives ~4.9k, 8192 sustains ~8k).
-    B = int(os.environ.get("BENCH_BATCH", "4096"))
     # 'l1' (default) or 'NN_oneshot' — the reference's flagship learned
     # tube mode (ref: trajopt/tube_trajopt.py:543-570).
     TUBE = os.environ.get("BENCH_TUBE", "l1")
+    # Scenarios per solve batch (target: >=1000 per host). Measured best
+    # throughput (docs/PERF.md): l1 peaks at B=4096 (~8.7k solves/s;
+    # 1024 gives ~4.9k); the NN mode is compute-bound and peaks at
+    # B=1024 (1216/s with the chunked basis vs 1075 at 4096).
+    B = int(os.environ.get("BENCH_BATCH",
+                           "4096" if TUBE == "l1" else "1024"))
 
     prob = PROBLEM_DICT["gap"]
     pm = make_rom(
@@ -80,7 +82,14 @@ def main():
         * jnp.asarray(rng.uniform(0.85, 1.0, (B, 2)), jnp.float32),
     )
 
-    cfg = ALConfig()  # defaults tuned for 1e-5 feasibility at N=50
+    # Defaults tuned for 1e-5 feasibility at N=50. NN mode: chunked
+    # Woodbury-basis refresh every 3 inners — identical iterates to the
+    # exact per-inner path on the bench batch at 1.25x the throughput and
+    # ~10x faster compiles (docs/PERF.md round-2 A/Bs); interpolate warm
+    # start (the nominal pre-solve costs ~0.2 s/batch and does not change
+    # feasibility here).
+    cfg = (ALConfig() if TUBE == "l1"
+           else ALConfig(nn_basis_refresh=3))
 
     # Structured stage-wise solver: block-tridiagonal KKT factorization
     # (solver/fast_tube.py) — the TPU-native replacement for IPOPT's sparse
@@ -88,7 +97,7 @@ def main():
     solve = jax.jit(
         lambda pb: solve_tube_fast_batched(
             pb, N, H_REV, tube_kind=TUBE, scaling=0.5, cfg=cfg,
-            warm_start=("nominal" if TUBE == "NN_oneshot" else "interpolate"),
+            warm_start="interpolate",
             tube_ws="evaluate",
         )
     )

@@ -58,13 +58,15 @@ def main():
             obs_r=pb.obs_r * jnp.asarray(rng.uniform(0.85, 1.0, (B, 2)), jnp.float32),
         )
 
+    ws = os.environ.get("NN_WS", "nominal")
+
     def run(tag, solve_single, B, cfg_run=None):
         cfg_l = cfg_run or cfg
 
         def one(pp):
             return ft.solve_tube_fast(
                 pp, N, H_REV, tube_kind="NN_oneshot", cfg=cfg_l,
-                warm_start="nominal", tube_ws="evaluate")
+                warm_start=ws, tube_ws="evaluate")
         # Patch dispatch: solve_single decides scalar vs array.
         orig = ft.solve_tube_fast_single
         ft.solve_tube_fast_single = solve_single
@@ -128,14 +130,20 @@ def main():
             out_o = run("outer ", scalar_single, 1024, cfg_run=cfg_outer)
         elif item == "outer4096":
             run("outer ", scalar_single, 4096, cfg_run=cfg_outer)
-    if out_s is not None and out_a is not None:
-        dz = np.abs(np.asarray(out_s.z) - np.asarray(out_a.z)).max()
-        dw = np.abs(np.asarray(out_s.w) - np.asarray(out_a.w)).max()
-        print(f"scalar-vs-array parity: dz={dz:.3g} dw={dw:.3g}", flush=True)
-    if out_s is not None and out_o is not None:
-        dz = np.abs(np.asarray(out_s.z) - np.asarray(out_o.z)).max()
-        dw = np.abs(np.asarray(out_s.w) - np.asarray(out_o.w)).max()
-        print(f"outer-vs-inner parity: dz={dz:.3g} dw={dw:.3g}", flush=True)
+        elif item.startswith("chunk"):
+            k, B = item[5:].split("_")
+            out_o = run(f"chunk{k}", scalar_single, int(B),
+                        cfg_run=ALConfig(nn_basis_refresh=int(k)))
+    pairs = [("scalar", out_s), ("array", out_a), ("chunk", out_o)]
+    for i in range(len(pairs)):
+        for j in range(i + 1, len(pairs)):
+            (ta, oa), (tb, ob) = pairs[i], pairs[j]
+            if oa is None or ob is None:
+                continue
+            dz = np.abs(np.asarray(oa.z) - np.asarray(ob.z)).max()
+            dw = np.abs(np.asarray(oa.w) - np.asarray(ob.w)).max()
+            print(f"{ta}-vs-{tb} parity: dz={dz:.3g} dw={dw:.3g}",
+                  flush=True)
 
 
 if __name__ == "__main__":

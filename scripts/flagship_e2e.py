@@ -134,11 +134,14 @@ def main():
         [np.inf, np.inf, 0.3, 0.3], [-0.5, -0.5], [0.5, 0.5],
     )
 
+    # Chunked Woodbury-basis refresh (nn_basis_refresh=3): same answers to
+    # <=2e-3 as the exact per-inner path at ~2x the throughput and ~20x
+    # faster compiles (docs/PERF.md).
     run = jax.jit(jax.vmap(lambda pp: closed_loop_tube_mpc_fast(
         pp, robot, tube_kind="NN_oneshot", scaling=0.5, H=H, N=N,
         H_rev=H_REV,
-        cfg_first=ALConfig(),
-        cfg_loop=ALConfig(outer_iters=5, inner_iters=6),
+        cfg_first=ALConfig(nn_basis_refresh=3),
+        cfg_loop=ALConfig(outer_iters=5, inner_iters=6, nn_basis_refresh=3),
         warm_start="nominal", tube_ws="evaluate",
     )))
 
