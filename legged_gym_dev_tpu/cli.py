@@ -248,7 +248,11 @@ def _tube_spec_from_args(args):
     else:
         spec = tube_spec({
             "dataset": "oneshot" if args.oneshot else "scalar",
-            "loss": "vector" if args.oneshot else "scalar",
+            # The reference's ScalarHorizonTubeLoss IS ScalarTubeLoss
+            # (ref losses.py:17-26): per-element pinball->Huber, not the
+            # summed vector form (which saturates the Huber and underfits
+            # short runs).
+            "loss": "scalar",
             "alpha": args.alpha, "epochs": args.epochs,
             "window": args.window, "H_fwd": args.H_fwd,
             "H_rev": args.H_rev,
