@@ -93,7 +93,7 @@ def assemble_only(pb):
 
         def body(carry, _):
             u_c = carry
-            g_e, D_e, L_e = ss._assemble_e(sp, u_c, pp, lam, mu, rho)
+            g_e, D_e, L_e, _ = ss._assemble_e(sp, u_c, pp, lam, mu, rho)
             bump = sum(ss._none_to_zero(D_e[i][i]) for i in range(b))
             u_n = tuple(u_c[i] + 1e-12 * (g_e[i] + bump) for i in range(b))
             return u_n, None
@@ -109,7 +109,7 @@ def factor_only(pb):
         u0, lb, ub = make_u0(pp)
         u_e = tuple(u0[:, i] for i in range(b))
         lam, mu, rho = lam_mu(pp)
-        g_e, D_e, L_e = ss._assemble_e(sp, u_e, pp, lam, mu, rho)
+        g_e, D_e, L_e, _ = ss._assemble_e(sp, u_e, pp, lam, mu, rho)
         reg = cfg.reg
         Dm = [[0.0] * b for _ in range(b)]
         for i in range(b):
@@ -182,7 +182,7 @@ def inner_only(pb):
 
         def inner_step(u_e):
             merit = _merit_e(sp, u_e, pp, lam, mu, rho)
-            grad_e, D_e, L_e = _assemble_e(sp, u_e, pp, lam, mu, rho)
+            grad_e, D_e, L_e, _ = _assemble_e(sp, u_e, pp, lam, mu, rho)
             fm = []
             for i in range(b):
                 at_lb = (u_e[i] <= lb_e[i] + eps_e[i]) & (grad_e[i] > 0.0)
