@@ -177,7 +177,10 @@ def main():
         "realtime_batched": bool(per_resolve_batched < budget),
         "resolves_per_s": round(B * (H + 1) / t_mpc, 1),
         "adopted_frac": float(adopts.mean()),
-        "max_adopted_viol": float(np.where(adopts, viols, 0.0).max()),
+        # viols[:, k] is the re-solve computed AT step k; adopts[:, k+1]
+        # says whether that plan was executed at the next tick.
+        "max_adopted_viol": float(
+            np.where(adopts[:, 1:], viols[:, :-1], 0.0).max()),
         "median_goal_dist": float(np.median(goal_dist)),
         "goal_reach_frac_10cm": float(np.mean(goal_dist < 0.1)),
     }
