@@ -8,19 +8,23 @@ tube_planning_closed_loop.py's real-time ambitions; the repo publishes no
 numbers, see BASELINE.md), i.e. ~10 solves/s serial. ``vs_baseline`` is
 measured solves/s/chip divided by that 10/s estimate.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Runs BOTH benchmark modes every time:
+  - l1 analytic tube (headline metric fields), B=4096;
+  - NN_oneshot learned tube — the reference's flagship mode (ref:
+    trajopt/tube_trajopt.py:543-570 via l4casadi) — as ``nn_*`` fields,
+    B=1024 (the NN mode is compute-bound and peaks there, docs/PERF.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 import json
+import os
 import time
 
 import numpy as np
 
 
-def main():
-    from legged_gym_dev_tpu.utils.runtime import setup_tpu_runtime
-
-    setup_tpu_runtime()
-
+def run_mode(tube: str, batch: int):
+    """One benchmark batch; returns the stats dict."""
     import jax
     import jax.numpy as jnp
 
@@ -29,22 +33,16 @@ def main():
         ALConfig,
         PROBLEM_DICT,
         TrajOptParams,
+        certify_staged_batched,
     )
-    from legged_gym_dev_tpu.solver.fast_tube import solve_tube_fast_batched
-
-    import os
+    from legged_gym_dev_tpu.solver.fast_tube import (
+        StagedProblem,
+        solve_tube_fast_batched,
+        staged_bounds,
+    )
 
     N, H_REV = 50, 10
-    # 'l1' (default) or 'NN_oneshot' — the reference's flagship learned
-    # tube mode (ref: trajopt/tube_trajopt.py:543-570).
-    TUBE = os.environ.get("BENCH_TUBE", "l1")
-    # Scenarios per solve batch (target: >=1000 per host). Measured best
-    # throughput (docs/PERF.md): l1 peaks at B=4096 (~8.7k solves/s;
-    # 1024 gives ~4.9k); the NN mode is compute-bound and peaks at
-    # B=1024 (1216/s with the chunked basis vs 1075 at 4096).
-    B = int(os.environ.get("BENCH_BATCH",
-                           "4096" if TUBE == "l1" else "1024"))
-
+    B = batch
     prob = PROBLEM_DICT["gap"]
     pm = make_rom(
         "SingleInt2D", prob["dt"],
@@ -54,7 +52,7 @@ def main():
     Q = 10 * np.eye(2)
     R = 10 * np.eye(2)
     tube_params = None
-    if TUBE == "NN_oneshot":
+    if tube == "NN_oneshot":
         from legged_gym_dev_tpu.tube.models import MLP
 
         nn = MLP.create(jax.random.PRNGKey(0), H_REV + (H_REV + N) * 2, N,
@@ -67,15 +65,17 @@ def main():
     p = TrajOptParams.create(
         pm, N, H_REV, Q, R, prob["start"], prob["goal"],
         prob["obs"]["c"], prob["obs"]["r"],
-        Qw=(0.1 if TUBE == "NN_oneshot" else 0.0), w_max=1.0,
+        Qw=(0.1 if tube == "NN_oneshot" else 0.0), w_max=1.0,
         tube_params=tube_params,
     )
     # Scenario batch: randomized starts/goals/obstacle layouts.
     rng = np.random.default_rng(0)
     p_batch = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), p)
     p_batch = p_batch.replace(
-        z0=p_batch.z0 + jnp.asarray(rng.uniform(-0.15, 0.15, (B, 2)), jnp.float32),
-        zf=p_batch.zf + jnp.asarray(rng.uniform(-0.15, 0.15, (B, 2)), jnp.float32),
+        z0=p_batch.z0 + jnp.asarray(rng.uniform(-0.15, 0.15, (B, 2)),
+                                    jnp.float32),
+        zf=p_batch.zf + jnp.asarray(rng.uniform(-0.15, 0.15, (B, 2)),
+                                    jnp.float32),
         obs_c=p_batch.obs_c
         + jnp.asarray(rng.uniform(-0.05, 0.05, (B, 2, 2)), jnp.float32),
         obs_r=p_batch.obs_r
@@ -88,7 +88,7 @@ def main():
     # ~10x faster compiles (docs/PERF.md round-2 A/Bs); interpolate warm
     # start (the nominal pre-solve costs ~0.2 s/batch and does not change
     # feasibility here).
-    cfg = (ALConfig() if TUBE == "l1"
+    cfg = (ALConfig() if tube == "l1"
            else ALConfig(nn_basis_refresh=3))
 
     # Structured stage-wise solver: block-tridiagonal KKT factorization
@@ -96,7 +96,7 @@ def main():
     # linear algebra.
     solve = jax.jit(
         lambda pb: solve_tube_fast_batched(
-            pb, N, H_REV, tube_kind=TUBE, scaling=0.5, cfg=cfg,
+            pb, N, H_REV, tube_kind=tube, scaling=0.5, cfg=cfg,
             warm_start="interpolate",
             tube_ws="evaluate",
         )
@@ -123,11 +123,8 @@ def main():
     # local-infeasibility certification — the role IPOPT's restoration
     # failure signal plays in the reference. No plan is silently returned
     # as "solved" when it violates constraints.
-    from legged_gym_dev_tpu.solver import certify_staged_batched
-    from legged_gym_dev_tpu.solver.fast_tube import StagedProblem, staged_bounds
-
     sp = StagedProblem(n=2, m=2, N=N, K=2,
-                       tube_kind=("nn" if TUBE == "NN_oneshot" else TUBE),
+                       tube_kind=("nn" if tube == "NN_oneshot" else tube),
                        scaling=0.5, track_ref=False)
     lb_u, ub_u = staged_bounds(p, 2, 2, N)
     u_all = out.sol.x.reshape(B, N + 1, -1)
@@ -139,22 +136,45 @@ def main():
               for i, name in enumerate(("feasible", "restored",
                                         "infeasible", "failed"))}
     feas_mask = verdicts == 0
-    max_viol_feasible = float(viol[feas_mask].max()) if feas_mask.any() else 0.0
-
-    baseline_solves_per_s = 10.0  # serial warm-started IPOPT estimate (see top)
-    print(json.dumps({
-        "metric": ("tube_mpc_solves_per_s_per_chip_N50" if TUBE == "l1"
-                   else f"tube_mpc_solves_per_s_per_chip_N50_{TUBE}"),
+    max_viol_feasible = (float(viol[feas_mask].max()) if feas_mask.any()
+                         else 0.0)
+    return {
         "value": round(solves_per_s, 1),
-        "unit": "solves/s",
-        "vs_baseline": round(solves_per_s / baseline_solves_per_s, 1),
         "batch": B,
         "solve_wall_s": round(dt, 4),
         "feasible_frac": feasible_frac,
         "max_viol": float(viol.max()),
         "max_viol_feasible": max_viol_feasible,
         "verdicts": counts,
-    }))
+    }
+
+
+def main():
+    from legged_gym_dev_tpu.utils.runtime import setup_tpu_runtime
+
+    setup_tpu_runtime()
+
+    baseline_solves_per_s = 10.0  # serial warm-started IPOPT (see header)
+
+    # Headline: l1 analytic tube at its best batch.
+    l1 = run_mode("l1", int(os.environ.get("BENCH_BATCH", "4096")))
+    rec = {
+        "metric": "tube_mpc_solves_per_s_per_chip_N50",
+        "value": l1["value"],
+        "unit": "solves/s",
+        "vs_baseline": round(l1["value"] / baseline_solves_per_s, 1),
+        **{k: v for k, v in l1.items() if k != "value"},
+    }
+
+    # Learned-tube mode (NN_oneshot): always recorded in the same line so
+    # the driver artifact carries the north-star config-3 number each
+    # round. BENCH_SKIP_NN=1 skips it (debugging only).
+    if not os.environ.get("BENCH_SKIP_NN"):
+        nn = run_mode("NN_oneshot",
+                      int(os.environ.get("BENCH_NN_BATCH", "1024")))
+        rec.update({f"nn_{k}": v for k, v in nn.items()})
+
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -91,6 +91,65 @@ def cmd_train(args):
     print(json.dumps({"final": hist[-1]}))
 
 
+def _play_signals(env, state, tr):
+    """Env-0 dashboard signals for the Logger's 9 panels (reference panel
+    parity: dof pos/vel/torque, base velocities vs commands, contact force
+    z, tracking error — ref legged_gym/utils/logger.py:61-126,
+    scripts/play.py:112-199). Pure function of (state, transition); jitted
+    once per play run."""
+    import jax.numpy as jnp
+
+    from .core.maths import quat_rotate_inverse
+
+    sig = {"reward": tr.reward[0]}
+    r = getattr(state, "robot", None)
+    if r is None:
+        # physics-free ROM envs: only obs-derived signals exist
+        if env.num_obs > 5:
+            sig["base_vel_x"] = tr.obs[0, 5]
+        return sig
+    lin_b = quat_rotate_inverse(r.base_quat[0:1], r.v[0:1, :3])[0]
+    sig.update({
+        "dof_pos": r.q[0],
+        "dof_vel": r.v[0, 6:],
+        "base_vel_x": lin_b[0],
+        "base_vel_y": lin_b[1],
+        "base_vel_z": lin_b[2],
+        "base_vel_yaw": r.v[0, 5],
+    })
+    if getattr(state, "torques", None) is not None:
+        sig["dof_torque"] = state.torques[0]
+    if getattr(state, "actions", None) is not None:
+        act_scale = getattr(env, "action_scale", 1.0)
+        dd = getattr(env, "default_dof_pos", None)
+        if dd is not None and state.actions.shape[1] == r.q.shape[1]:
+            sig["dof_pos_target"] = act_scale * state.actions[0] + dd
+    cmds = getattr(state, "commands", None)
+    if cmds is not None:
+        sig["command_x"] = cmds[0, 0]
+        sig["command_y"] = cmds[0, 1]
+        sig["command_yaw"] = cmds[0, 2]
+    if getattr(state, "prev_error", None) is not None:
+        sig["tracking_error"] = jnp.sqrt(jnp.sum(state.prev_error[0]))
+    try:
+        from .sim.contact import contact_forces
+        from .sim.dynamics import contact_kinematics
+
+        sim = env.sim
+        pos, vel, _ = contact_kinematics(sim.model, r)
+        f = contact_forces(sim.contact, pos, vel, sim.model.contact_radius,
+                           sim.terrain_fn)
+        feet = getattr(env, "feet_spheres", None)
+        if not feet:
+            fs = getattr(env, "foot_sphere", None)
+            feet = (fs,) if fs is not None else None
+        sig["contact_forces_z"] = (f[0, jnp.asarray(feet), 2] if feet
+                                   else jnp.max(f[0, :, 2]))
+    except (AttributeError, TypeError):
+        pass
+    return sig
+
+
 def cmd_play(args):
     _setup(args)
     import jax
@@ -125,7 +184,17 @@ def cmd_play(args):
         p2 = export_policy_savedmodel(policy, env.num_obs,
                                       os.path.join(args.export, "savedmodel"))
         print(f"exported SavedModel: {p2}")
-        if not runner.recurrent:
+        if runner.recurrent:
+            # Stateful LSTM TorchScript module — the reference exports
+            # recurrent policies through PolicyExporterLSTM
+            # (ref: legged_gym/utils/helpers.py:287-313, play.py:74-87).
+            from .utils.export import export_policy_lstm_torchscript
+
+            p3 = export_policy_lstm_torchscript(
+                runner.train_state.params,
+                os.path.join(args.export, "policy_lstm.pt"))
+            print(f"exported LSTM TorchScript: {p3}")
+        else:
             p3 = export_policy_torchscript(
                 runner.train_state.params,
                 os.path.join(args.export, "policy.pt"))
@@ -138,13 +207,18 @@ def cmd_play(args):
     logger = Logger(dt=env.dt)
     state, obs = env.reset(jax.random.PRNGKey(0))
     step = jax.jit(env.step)
+    probe = jax.jit(lambda s, t: _play_signals(env, s, t))
+    trace = []  # (base_pos, base_quat, q) of env 0 — reused for --video
     for i in range(args.steps):
         state, tr = step(state, policy(obs))
         obs = tr.obs
-        logger.log_states({
-            "base_vel_x": tr.obs[0, 5] if env.num_obs > 5 else 0.0,
-            "reward": tr.reward[0],
-        })
+        sig = jax.tree.map(np.asarray, probe(state, tr))
+        logger.log_states(sig)
+        r = getattr(state, "robot", None)
+        if r is not None:
+            trace.append((np.asarray(r.base_pos[0]),
+                          np.asarray(r.base_quat[0]),
+                          np.asarray(r.q[0])))
     if args.plot:
         logger.plot_states(args.plot)
         print(f"dashboard saved: {args.plot}")
@@ -152,13 +226,18 @@ def cmd_play(args):
         logger.save_mat(args.mat)
         print(f"state log saved: {args.mat}")
     if args.video:
-        from .utils.video import record_rollout_video
+        # Render the SAME rollout that was just logged/plotted (not a fresh
+        # reset): replay the recorded state trace of env 0.
+        from .utils.video import render_state_trace
 
-        path = record_rollout_video(
-            env, policy, jax.random.PRNGKey(1),
-            steps=args.video_steps or min(args.steps, 250),
-            out_path=args.video,
-        )
+        if not trace:
+            raise SystemExit(f"{args.task} has no rigid-body state to "
+                             "render (physics-free ROM env)")
+        n_vid = min(len(trace), args.video_steps or min(args.steps, 250))
+        pos, quat, qs = (np.stack([t[k] for t in trace[:n_vid]])
+                         for k in range(3))
+        path = render_state_trace(env.sim.model, pos, quat, qs, args.video,
+                                  fps=1.0 / env.dt)
         print(f"rollout video saved: {path}")
 
 
@@ -248,11 +327,12 @@ def _tube_spec_from_args(args):
     else:
         spec = tube_spec({
             "dataset": "oneshot" if args.oneshot else "scalar",
-            # The reference's ScalarHorizonTubeLoss IS ScalarTubeLoss
-            # (ref losses.py:17-26): per-element pinball->Huber, not the
-            # summed vector form (which saturates the Huber and underfits
-            # short runs).
-            "loss": "scalar",
+            # Reference parity: the oneshot configs train with
+            # VectorTubeLoss (per-step pinball summed over H_fwd, then
+            # Huber — ref tube_learning_oneshot.yaml, losses.py:29-37);
+            # the non-oneshot scalar dataset trains with ScalarTubeLoss
+            # (ScalarHorizonTubeLoss is the same function, losses.py:17-26).
+            "loss": "vector" if args.oneshot else "scalar",
             "alpha": args.alpha, "epochs": args.epochs,
             "window": args.window, "H_fwd": args.H_fwd,
             "H_rev": args.H_rev,
@@ -408,6 +488,19 @@ def _make_problem(args, tube_params=None):
     return prob, p
 
 
+def _staged_cfg(args, loop: bool = False):
+    """Solver config for the CLI's staged fast path (bench defaults:
+    chunked Woodbury-basis refresh for the NN tube, docs/PERF.md)."""
+    from .solver import ALConfig
+
+    kw = {}
+    if args.tube_dyn == "NN_oneshot":
+        kw["nn_basis_refresh"] = 3
+    if loop:
+        kw.update(outer_iters=5, inner_iters=6)
+    return ALConfig(**kw)
+
+
 def cmd_plan(args):
     _setup(args)
     from .solver import get_tube_dynamics, solve_nominal, solve_tube
@@ -416,17 +509,52 @@ def cmd_plan(args):
                    if args.tube_dyn == "NN_oneshot" and not args.nominal
                    else None)
     prob, p = _make_problem(args, tube_params)
+    verdict_info = {}
+    # The rolling tube modes have no staged (block-tridiagonal) form —
+    # they always use the dense generic solver.
+    generic = args.generic or args.tube_dyn.endswith("_rolling")
     if args.nominal:
         z, v, sol = solve_nominal(p, args.N, warm_start="interpolate")
         w = None
-    else:
+    elif generic:
+        # Dense generic AL solver — debugging reference path.
         tube_fn = get_tube_dynamics(args.tube_dyn, args.N, scaling=0.5)
         out = solve_tube(p, tube_fn, args.N, args.H_rev,
                          warm_start="nominal", tube_ws="evaluate")
         z, v, w, sol = out.z, out.v, out.w, out.sol
+    else:
+        # DEFAULT: staged block-tridiagonal solver (the benchmarked path —
+        # scalar-entry Thomas/CR factor, Woodbury NN tube; solver/
+        # staged_scalar.py) + restoration/certification verdict.
+        from .solver import VERDICT_NAMES, certify_staged
+        from .solver.fast_tube import (
+            StagedProblem,
+            solve_tube_fast,
+            staged_bounds,
+        )
+
+        out = solve_tube_fast(p, args.N, args.H_rev,
+                              tube_kind=args.tube_dyn, scaling=0.5,
+                              cfg=_staged_cfg(args),
+                              warm_start="interpolate", tube_ws="evaluate")
+        z, v, w, sol = out.z, out.v, out.w, out.sol
+        n, m = p.rom.n, p.rom.m
+        sp = StagedProblem(
+            n=n, m=m, N=args.N, K=p.obs_r.shape[0],
+            tube_kind=("nn" if args.tube_dyn == "NN_oneshot"
+                       else args.tube_dyn),
+            scaling=0.5, track_ref=False)
+        lb_u, ub_u = staged_bounds(p, n, m, args.N)
+        cert = certify_staged(sp, p, sol.x.reshape(args.N + 1, -1),
+                              sol.viol, lb_u, ub_u)
+        verdict_info = {
+            "verdict": VERDICT_NAMES[int(cert.verdict)],
+            "viol_restored": float(cert.viol_restored),
+        }
     print(json.dumps({
         "viol": float(sol.viol), "obj": float(sol.obj),
         "converged": bool(sol.converged),
+        **verdict_info,
     }))
     if args.out:
         payload = {"z": np.asarray(z), "v": np.asarray(v),
@@ -443,8 +571,6 @@ def cmd_mpc(args):
     import jax
 
     from .core import DoubleInt2D
-    from .solver import get_tube_dynamics
-    from .solver.mpc import MPCConfig, closed_loop_tube_mpc
 
     tube_params = (_load_tube_model(args)
                    if args.tube_dyn == "NN_oneshot" else None)
@@ -453,31 +579,89 @@ def cmd_mpc(args):
         prob["dt"], [-np.inf, -np.inf, -0.3, -0.3],
         [np.inf, np.inf, 0.3, 0.3], [-0.5, -0.5], [0.5, 0.5],
     )
-    tube_fn = get_tube_dynamics(args.tube_dyn, args.N, scaling=0.5)
-    mpc = MPCConfig(H=args.H, N=args.N, H_rev=args.H_rev)
-    trace = jax.jit(
-        lambda p: closed_loop_tube_mpc(p, tube_fn, robot, mpc)
-    )(p)
-    z = np.asarray(trace.z)
-    print(json.dumps({
-        "goal_dist": float(np.linalg.norm(z[-1] - prob["goal"])),
-        "max_resolve_viol": float(np.asarray(trace.viol).max()),
-        "tracking_err_max": float(
-            np.abs(z - np.asarray(trace.pz_x)).max()
-        ),
-    }))
+    if args.generic or args.tube_dyn.endswith("_rolling"):
+        # Dense generic AL re-solves — debugging reference path (and the
+        # rolling tube modes, which have no staged form).
+        from .solver import get_tube_dynamics
+        from .solver.mpc import MPCConfig, closed_loop_tube_mpc
+
+        tube_fn = get_tube_dynamics(args.tube_dyn, args.N, scaling=0.5)
+        mpc = MPCConfig(H=args.H, N=args.N, H_rev=args.H_rev)
+        trace = jax.jit(
+            lambda p: closed_loop_tube_mpc(p, tube_fn, robot, mpc)
+        )(p)
+        z = np.asarray(trace.z)
+        result = {
+            "goal_dist": float(np.linalg.norm(z[-1] - prob["goal"])),
+            "max_resolve_viol": float(np.asarray(trace.viol).max()),
+            "tracking_err_max": float(
+                np.abs(z - np.asarray(trace.pz_x)).max()),
+        }
+        payload_extra = {"z_sol": np.asarray(trace.z_sol),
+                         "v_sol": np.asarray(trace.v_sol),
+                         "w_sol": np.asarray(trace.w_sol)}
+        v_t, w_t, pzx_t = (np.asarray(trace.v), np.asarray(trace.w),
+                           np.asarray(trace.pz_x))
+        adopted = None
+    else:
+        # DEFAULT: staged block-tridiagonal re-solves with the execution
+        # gate (solver/fast_tube.closed_loop_tube_mpc_fast — the 8k+
+        # re-solves/s path from the benchmarks) + a certification verdict
+        # on the initial plan.
+        from .solver import VERDICT_NAMES, certify_staged
+        from .solver.fast_tube import (
+            StagedProblem,
+            closed_loop_tube_mpc_fast,
+            solve_tube_fast,
+            staged_bounds,
+        )
+
+        cfg_first = _staged_cfg(args)
+        cfg_loop = _staged_cfg(args, loop=True)
+        out0 = solve_tube_fast(p, args.N, args.H_rev,
+                               tube_kind=args.tube_dyn, scaling=0.5,
+                               cfg=cfg_first, warm_start="interpolate",
+                               tube_ws="evaluate")
+        n, m = p.rom.n, p.rom.m
+        sp = StagedProblem(
+            n=n, m=m, N=args.N, K=p.obs_r.shape[0],
+            tube_kind=("nn" if args.tube_dyn == "NN_oneshot"
+                       else args.tube_dyn),
+            scaling=0.5, track_ref=False)
+        lb_u, ub_u = staged_bounds(p, n, m, args.N)
+        cert = certify_staged(sp, p, out0.sol.x.reshape(args.N + 1, -1),
+                              out0.sol.viol, lb_u, ub_u)
+        z_t, v_t, w_t, pzx_t, viols, adopts = jax.jit(
+            lambda pp: closed_loop_tube_mpc_fast(
+                pp, robot, tube_kind=args.tube_dyn, scaling=0.5,
+                H=args.H, N=args.N, H_rev=args.H_rev,
+                cfg_first=cfg_first, cfg_loop=cfg_loop)
+        )(p)
+        z = np.asarray(z_t)
+        adopted = np.asarray(adopts)
+        result = {
+            "goal_dist": float(np.linalg.norm(z[-1] - prob["goal"])),
+            "max_resolve_viol": float(np.asarray(viols).max()),
+            "tracking_err_max": float(np.abs(z - np.asarray(pzx_t)).max()),
+            "plan_verdict": VERDICT_NAMES[int(cert.verdict)],
+            "verdicts": {VERDICT_NAMES[int(cert.verdict)]: 1},
+            "adopted_frac": float(adopted.mean()),
+        }
+        payload_extra = {}
+    print(json.dumps(result))
     if args.out:
         # .mat export parity (ref tube_planning_closed_loop.py:170-188).
-        _save_mat_or_npz(args.out, {
-            "z": z, "v": np.asarray(trace.v), "w": np.asarray(trace.w),
-            "pz_x": np.asarray(trace.pz_x),
-            "z_sol": np.asarray(trace.z_sol),
-            "v_sol": np.asarray(trace.v_sol),
-            "w_sol": np.asarray(trace.w_sol),
+        payload = {
+            "z": z, "v": np.asarray(v_t), "w": np.asarray(w_t),
+            "pz_x": np.asarray(pzx_t),
             "z0": prob["start"], "zf": prob["goal"],
             "obs_x": prob["obs"]["c"][:, 0], "obs_y": prob["obs"]["c"][:, 1],
             "obs_r": prob["obs"]["r"],
-        })
+            **payload_extra,
+        }
+        if adopted is not None:
+            payload["adopted"] = adopted
+        _save_mat_or_npz(args.out, payload)
         print(f"saved closed-loop trace -> {args.out}")
 
 
@@ -594,6 +778,11 @@ def build_parser():
         s.add_argument("--N", type=int, default=50)
         s.add_argument("--H-rev", type=int, default=10)
         s.add_argument("--out", default="")
+        s.add_argument("--generic", action="store_true",
+                       help="use the dense generic AL solver instead of "
+                            "the staged block-tridiagonal fast path "
+                            "(debugging; also implied by the rolling tube "
+                            "modes, which have no staged form)")
         if name == "plan":
             s.add_argument("--nominal", action="store_true")
         else:

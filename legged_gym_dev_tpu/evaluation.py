@@ -59,20 +59,24 @@ def evaluate_tube_recursive(model: MLP, rollouts: RolloutData,
 
     E, T = v.shape[:2]
 
+    # One jit over ALL episodes: scan along time, vmap over the episode
+    # batch — at the reference's 8192-epoch data scale the per-episode
+    # Python loop this replaces paid one dispatch per episode.
     @jax.jit
-    def recurse(zv_e, w0):
-        def body(w_prev, zv_t):
-            x = jnp.concatenate([jnp.atleast_1d(w_prev), zv_t])
-            w_next = model(x)[0]
-            return w_next, w_next
+    def recurse_all(zv_all, w0_all):
+        def recurse(zv_e, w0):
+            def body(w_prev, zv_t):
+                x = jnp.concatenate([jnp.atleast_1d(w_prev), zv_t])
+                w_next = model(x)[0]
+                return w_next, w_next
 
-        _, ws = jax.lax.scan(body, w0, zv_e)
-        return ws
+            _, ws = jax.lax.scan(body, w0, zv_e)
+            return ws
 
-    preds = np.stack([
-        np.asarray(recurse(jnp.asarray(zv[e]), jnp.asarray(w_true[e, 0])))
-        for e in range(E)
-    ])  # (E, T)
+        return jax.vmap(recurse)(zv_all, w0_all)
+
+    preds = np.asarray(
+        recurse_all(jnp.asarray(zv), jnp.asarray(w_true[:, 0])))  # (E, T)
     covered = preds >= w_true[:, 1:]
     return {
         "recursive_coverage": float(np.mean(covered)),

@@ -158,6 +158,89 @@ def _chol_lane_from_rows(M, b: int):
     return L
 
 
+def _pallas_call_lane_major(Dt, Lt, rt, S: int, b: int, rows_total: int,
+                            LANES: int, tile_rows: int,
+                            interpret: bool) -> jax.Array:
+    """Invoke the kernel on prebuilt lane-major tensors.
+
+    Dt (S, b, b, rows, LANES); Lt (S-1, b, b, rows, LANES);
+    rt (S, b, rows, LANES) -> x (S, b, rows, LANES).
+    """
+    grid = (rows_total // tile_rows,)
+    kernel = functools.partial(_bt_kernel, S=S, b=b)
+    kw = {}
+    scratch = []
+    if _HAS_PLTPU:
+        scratch = [
+            pltpu.VMEM((S, b, b, tile_rows, LANES), Dt.dtype),
+            pltpu.VMEM((S, b, tile_rows, LANES), Dt.dtype),
+        ]
+        if not interpret:
+            kw["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=(32 << 20),
+            )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((S, b, rows_total, LANES), Dt.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((S, b, b, tile_rows, LANES),
+                         lambda i: (0, 0, 0, i, 0)),
+            pl.BlockSpec((S - 1, b, b, tile_rows, LANES),
+                         lambda i: (0, 0, 0, i, 0)),
+            pl.BlockSpec((S, b, tile_rows, LANES), lambda i: (0, 0, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((S, b, tile_rows, LANES),
+                               lambda i: (0, 0, i, 0)),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        **kw,
+    )(Dt, Lt, rt)
+
+
+def _lane_layout(B: int, tile_b: int):
+    tile_b = min(tile_b, B)
+    LANES = 128 if B % 128 == 0 else 1
+    rows_total = B // LANES
+    tile_rows = max(1, tile_b // LANES)
+    if rows_total % tile_rows != 0:
+        tile_rows = rows_total
+    return LANES, rows_total, tile_rows
+
+
+def block_tridiag_solve_pallas_entries(D_full, L_full, rhs, b: int,
+                                       tile_b: int = 1024,
+                                       interpret: bool = False):
+    """Batched solve from ENTRY-form inputs (the staged solver's native
+    representation): build the lane-major layout directly from per-entry
+    (B, S)/(B, S-1) arrays — no (B, S, b, b) intermediate whose tiny minor
+    dims would pad to (8, 128) tiles.
+
+    D_full: b x b nested list of (B, S) arrays (full symmetric blocks);
+    L_full: b x b nested list of (B, S-1); rhs: list b of (B, S).
+    Returns list b of (B, S).
+    """
+    B, S = rhs[0].shape
+    LANES, rows_total, tile_rows = _lane_layout(B, tile_b)
+
+    def lane(x, s):
+        # (B, s) -> (s, rows, LANES)
+        return jnp.moveaxis(x, 0, -1).reshape(s, rows_total, LANES)
+
+    Dt = jnp.stack(
+        [jnp.stack([lane(D_full[i][j], S) for j in range(b)], axis=1)
+         for i in range(b)], axis=1)                   # (S, b, b, rows, L)
+    Lt = jnp.stack(
+        [jnp.stack([lane(L_full[i][j], S - 1) for j in range(b)], axis=1)
+         for i in range(b)], axis=1)                   # (S-1, b, b, rows, L)
+    rt = jnp.stack([lane(r, S) for r in rhs], axis=1)  # (S, b, rows, L)
+
+    xt = _pallas_call_lane_major(Dt, Lt, rt, S, b, rows_total, LANES,
+                                 tile_rows, interpret)
+    xt = xt.reshape(S, b, B)
+    return [jnp.moveaxis(xt[:, i], -1, 0) for i in range(b)]
+
+
 def block_tridiag_solve_pallas(D: jax.Array, L: jax.Array, rhs: jax.Array,
                                tile_b: int = 128,
                                interpret: bool = False) -> jax.Array:

@@ -22,9 +22,36 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     return Mesh(np.array(devs[:n]).reshape(n), (axis,))
 
 
-def shard_batch(tree, mesh: Mesh, axis: str = "dp",
+def make_host_mesh(n_hosts: int, chips_per_host: int,
+                   devices=None) -> Mesh:
+    """2-axis ``(dcn, ici)`` mesh modeling the multi-host topology.
+
+    Axis 0 ("dcn") is the host boundary — collectives crossing it ride the
+    slow data-center network; axis 1 ("ici") is the intra-host chip
+    interconnect. The scenario batch shards over BOTH axes
+    (``P(("dcn", "ici"))`` via ``shard_batch(axis=("dcn", "ici"))``); each
+    SQP solve stays chip-local (no collectives in the solve program — the
+    BASELINE >=0.85x-linear multi-host target requires nothing crossing
+    DCN except tiny convergence-stat reductions). On real pods pass
+    ``jax.devices()`` laid out so consecutive groups of
+    ``chips_per_host`` share a host (jax's default device order); here the
+    topology is modeled on the virtual CPU mesh.
+    """
+    devs = list(devices) if devices is not None else jax.devices()
+    n = n_hosts * chips_per_host
+    if len(devs) < n:
+        raise ValueError(f"need {n} devices for a ({n_hosts}, "
+                         f"{chips_per_host}) mesh, have {len(devs)}")
+    return Mesh(np.array(devs[:n]).reshape(n_hosts, chips_per_host),
+                ("dcn", "ici"))
+
+
+def shard_batch(tree, mesh: Mesh, axis="dp",
                 batch_size: Optional[int] = None):
     """Shard every leaf's leading axis over the mesh; scalars replicate.
+
+    ``axis`` may be a tuple of mesh axis names (e.g. ``("dcn", "ici")`` on
+    a host mesh) to shard the leading dim over their product.
 
     ``batch_size``: when given, ONLY leaves whose leading dim equals it are
     sharded — without it the divisibility heuristic can grab non-batch

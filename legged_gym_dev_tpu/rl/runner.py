@@ -235,9 +235,20 @@ class OnPolicyRunner:
             state = {"carry": None}
 
             def policy(obs):
-                if state["carry"] is None:
-                    state["carry"] = model.initial_carry(obs.shape[0])
-                mean, state["carry"] = step(obs, state["carry"])
+                # Under a jax trace (policy export re-traces this closure)
+                # the carried LSTM state must neither be read nor written:
+                # a stored traced carry would leak out of the trace and
+                # poison every later eager call. Traced calls behave as a
+                # pure zero-state step (the stateful recurrent export is
+                # the TorchScript PolicyExporterLSTM path).
+                tracing = isinstance(obs, jax.core.Tracer)
+                if tracing or state["carry"] is None:
+                    carry = model.initial_carry(obs.shape[0])
+                else:
+                    carry = state["carry"]
+                mean, new_carry = step(obs, carry)
+                if not tracing:
+                    state["carry"] = new_carry
                 return mean
 
             policy.reset = lambda: state.update(carry=None)

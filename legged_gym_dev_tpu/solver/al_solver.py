@@ -62,9 +62,14 @@ class ALConfig:
     # Stage-structured linear solve (staged_scalar.py only):
     # "thomas" = block-Thomas scan — fewer FLOPs, 2(S-1) sequential steps;
     # "cr" = block cyclic reduction — one fused scan-free graph, ~2-3x the
-    # FLOPs; "auto" picks by horizon. Measured (docs/PERF.md): thomas wins
-    # at N=50 (8.9k vs 8.2k solves/s, B=4096), cr wins 1.3-1.35x at N=200
-    # where the scan's sequential depth dominates.
+    # FLOPs; "pallas" = the fused lane-major TPU kernel
+    # (ops/pallas_block_tridiag.py) routed batch-major via custom_vmap —
+    # the whole stage recursion runs from VMEM (per-chip only: under a
+    # sharded multi-chip jit use thomas/cr or wrap in shard_map);
+    # "auto" picks thomas/cr by horizon. Measured (docs/PERF.md): thomas
+    # wins at N=50 (8.9k vs 8.2k solves/s, B=4096), cr wins 1.3-1.35x at
+    # N=200 where the scan's sequential depth dominates; the pallas factor
+    # beats the thomas scan 4.7x/2.5x standalone at B=1024/4096.
     linsolve: str = struct.field(pytree_node=False, default="auto")
     # NN-oneshot Woodbury basis refresh (staged_scalar.py only):
     # "inner" = exact — full tube-net Jacobian + (N+1)-RHS banded solve +

@@ -671,6 +671,89 @@ def factor_solve_entries(D_e, L_e, rhs_e, b, unroll=2):
 
 
 # ---------------------------------------------------------------------------
+# Pallas-kernel dispatch (batch-major routing via custom_vmap)
+# ---------------------------------------------------------------------------
+#
+# The staged solver is written per-scenario and vmapped over the batch; the
+# Pallas block-tridiagonal kernel (ops/pallas_block_tridiag.py) wants the
+# WHOLE batch in its lane dimension — measured 4.7x (B=1024) / 2.5x
+# (B=4096) faster than the XLA entry-scan at the bench shapes
+# (docs/PERF.md). ``custom_vmap`` bridges the two: the unbatched base falls
+# back to the entry-scan (single solves, nested transforms), and the vmap
+# rule receives the batched (B, S) entries and hands them to the kernel in
+# lane-major layout with no (B, S, b, b) intermediate. Replaces IPOPT+
+# MUMPS' sparse factorization (ref: trajopt/tube_trajopt.py:256-277) as
+# the production factor when ALConfig.linsolve="pallas".
+#
+# NOTE: the kernel path is per-chip — under a sharded jit (multi-chip dp
+# mesh) keep linsolve="thomas"/"cr"/"auto", or wrap the solve in shard_map
+# so each device runs its own kernel instance on its local shard.
+
+from jax.custom_batching import custom_vmap
+
+
+def _unflatten_lower_full(flat, b):
+    """b*(b+1)/2 lower entries -> (lower-list, full-symmetric-list)."""
+    lower = _unpack_lower(flat, b)
+    full = [[lower[i][j] if i >= j else lower[j][i] for j in range(b)]
+            for i in range(b)]
+    return lower, full
+
+
+@custom_vmap
+def _bt_solve_dispatch(D_lo, L_flat, rhs):
+    """Unbatched base: entry-scan block-Thomas (same as factor_solve_entries).
+
+    D_lo: tuple of b*(b+1)/2 lower D entries, each (S,);
+    L_flat: tuple of b*b subdiagonal entries, each (S-1,);
+    rhs: tuple of b entries, each (S,). Returns tuple b of (S,).
+    """
+    b = len(rhs)
+    D_e, _ = _unflatten_lower_full(D_lo, b)
+    L_e = [list(L_flat[i * b:(i + 1) * b]) for i in range(b)]
+    return tuple(factor_solve_entries(D_e, L_e, list(rhs), b))
+
+
+@_bt_solve_dispatch.def_vmap
+def _bt_solve_dispatch_vmap(axis_size, in_batched, D_lo, L_flat, rhs):
+    from ..ops.pallas_block_tridiag import block_tridiag_solve_pallas_entries
+
+    b = len(rhs)
+    B = axis_size
+
+    def bc(x, batched):
+        return x if batched else jnp.broadcast_to(x, (B,) + x.shape)
+
+    D_lo = tuple(bc(x, f) for x, f in zip(D_lo, in_batched[0]))
+    L_flat = tuple(bc(x, f) for x, f in zip(L_flat, in_batched[1]))
+    rhs = tuple(bc(x, f) for x, f in zip(rhs, in_batched[2]))
+
+    _, D_full = _unflatten_lower_full(D_lo, b)
+    L_full = [list(L_flat[i * b:(i + 1) * b]) for i in range(b)]
+    interpret = jax.default_backend() == "cpu"
+    x = block_tridiag_solve_pallas_entries(D_full, L_full, list(rhs), b,
+                                           tile_b=1024, interpret=interpret)
+    return tuple(x), tuple(True for _ in range(b))
+
+
+def _pallas_bt_solve(Dm, Lm, rhs, b, S):
+    """Route one banded solve through the kernel dispatch (materializing
+    the masked system's symbolic zeros — the kernel wants dense blocks)."""
+    D_lo = tuple(
+        jnp.broadcast_to(jnp.asarray(Dm[i][j], jnp.float32), (S,))
+        if not _is0(Dm[i][j]) else jnp.zeros((S,))
+        for i in range(b) for j in range(i + 1))
+    L_flat = tuple(
+        jnp.broadcast_to(jnp.asarray(Lm[i][j], jnp.float32), (S - 1,))
+        if not _is0(Lm[i][j]) else jnp.zeros((S - 1,))
+        for i in range(b) for j in range(b))
+    rhs_t = tuple(
+        jnp.broadcast_to(jnp.asarray(r, jnp.float32), (S,))
+        if not _is0(r) else jnp.zeros((S,)) for r in rhs)
+    return list(_bt_solve_dispatch(D_lo, L_flat, rhs_t))
+
+
+# ---------------------------------------------------------------------------
 # entry-form block cyclic reduction (scan-free factor+solve)
 # ---------------------------------------------------------------------------
 #
@@ -902,11 +985,24 @@ def _solve_staged_scalar_impl(sp, p, u0, lb_u, ub_u, cfg, lam0, mu0,
         return gn
 
     nn_refresh = cfg.nn_basis_refresh
+    if isinstance(nn_refresh, str):
+        if nn_refresh not in ("inner", "outer"):
+            raise ValueError(
+                "ALConfig.nn_basis_refresh must be 'inner', 'outer', or an "
+                f"int >= 1; got {nn_refresh!r}")
+    else:
+        nn_refresh = int(nn_refresh)
+        if nn_refresh < 1:
+            # k <= 0 would make the chunked refresh loop below never
+            # advance — an infinite Python loop at trace time.
+            raise ValueError(
+                "ALConfig.nn_basis_refresh int value must be >= 1; got "
+                f"{nn_refresh}")
     nn_frozen_basis = sp.tube_kind == "nn" and nn_refresh != "inner"
     # chunk size between basis refreshes: whole inner loop for "outer",
     # else the given k.
     nn_chunk = (cfg.inner_iters if nn_refresh == "outer"
-                else int(nn_refresh) if nn_frozen_basis else 0)
+                else nn_refresh if nn_frozen_basis else 0)
 
     def masked_system(u_e, grad_e, D_e, L_e, rho):
         """Bound-freeze mask + masked GN system (shared by the inner step
@@ -976,7 +1072,10 @@ def _solve_staged_scalar_impl(sp, p, u0, lb_u, ub_u, cfg, lam0, mu0,
             # basis scaling is consistent).
             Um, Ru, cholC = wb
             # Rg = -Hb^{-1} gf (fresh factor);  d = Rg + Ru C^{-1} U^T (-Rg)
-            Rg = factor_solve_entries(Dm, Lm, [-g for g in gf], b)
+            if cfg.linsolve == "pallas":
+                Rg = _pallas_bt_solve(Dm, Lm, [-g for g in gf], b, S)
+            else:
+                Rg = factor_solve_entries(Dm, Lm, [-g for g in gf], b)
             crhs = jnp.zeros((N,))
             for i in range(b):
                 if _is0(Um[i]):
@@ -1028,7 +1127,9 @@ def _solve_staged_scalar_impl(sp, p, u0, lb_u, ub_u, cfg, lam0, mu0,
                 # measured crossover between N=50 (thomas) and N=200 (cr);
                 # see docs/PERF.md "Cyclic reduction vs block-Thomas"
                 linsolve = "cr" if S >= _CR_AUTO_MIN_S else "thomas"
-            if linsolve == "cr":
+            if linsolve == "pallas":
+                d_e = _pallas_bt_solve(Dm, Lm, [-g for g in gf], b, S)
+            elif linsolve == "cr":
                 d_e = cr_solve_entries(Dm, Lm, [-g for g in gf], b)
             else:
                 d_e = factor_solve_entries(Dm, Lm, [-g for g in gf], b)

@@ -54,12 +54,23 @@ def render_state_trace(model, base_pos: np.ndarray, base_quat: np.ndarray,
     cam.elevation = -15.0
     cam.azimuth = 135.0
 
+    # Map framework dof order -> MuJoCo qpos via joint NAMES (same as
+    # evaluation.py's sim2sim addressing): MuJoCo's qpos document order is
+    # a DFS over the MJCF body tree, which need not match the framework's
+    # dof index order for robots whose URDF joint numbering is not
+    # DFS-consistent; positional d.qpos[7:] = q[t] would silently permute
+    # joints in the rendered pose.
+    qadr = {m.joint(i).name: int(m.joint(i).qposadr[0])
+            for i in range(m.njnt)}
+    dof_adr = [qadr[name] for name in model.dof_names]
+
     T = base_pos.shape[0]
     frames = []
     for t in range(T):
         d.qpos[:3] = base_pos[t]
         d.qpos[3:7] = _quat_xyzw_to_wxyz(base_quat[t])
-        d.qpos[7:] = q[t]
+        for j, adr in enumerate(dof_adr):
+            d.qpos[adr] = q[t, j]
         mujoco.mj_forward(m, d)
         cam.lookat[:] = base_pos[t]  # tracking camera
         renderer.update_scene(d, camera=cam)

@@ -39,6 +39,9 @@ def test_plan_and_mpc(tmp_path):
                    "--N", "20", "--out", str(tmp_path / "plan.mat")])
     rec = json.loads([l for l in out.splitlines() if l.startswith("{")][0])
     assert rec["viol"] < 1e-4
+    # The staged fast path is the DEFAULT: its JSON carries the
+    # restoration/certification verdict (--generic has none).
+    assert rec["verdict"] == "feasible"
     assert os.path.exists(tmp_path / "plan.mat")
 
     out = run_cli(["mpc", "--problem", "gap", "--tube-dyn", "l1",
@@ -46,10 +49,20 @@ def test_plan_and_mpc(tmp_path):
                    "--out", str(tmp_path / "mpc.mat")], timeout=300)
     rec = json.loads([l for l in out.splitlines() if l.startswith("{")][0])
     assert rec["max_resolve_viol"] < 1e-2
+    assert rec["plan_verdict"] == "feasible" and "verdicts" in rec
+    assert rec["adopted_frac"] > 0.9
     from scipy.io import loadmat
 
     m = loadmat(tmp_path / "mpc.mat")
     assert m["z"].shape[0] == 31
+
+
+def test_plan_generic_flag(tmp_path):
+    """--generic routes to the dense solver (no verdict in the JSON)."""
+    out = run_cli(["plan", "--problem", "gap", "--tube-dyn", "l1",
+                   "--N", "20", "--generic"])
+    rec = json.loads([l for l in out.splitlines() if l.startswith("{")][0])
+    assert rec["viol"] < 1e-4 and "verdict" not in rec
 
 
 def test_train_play_export(tmp_path):
@@ -95,7 +108,11 @@ def test_plan_nn_oneshot(tmp_path):
     model = str(tmp_path / "tube.pkl")
     run_cli(["collect", "--num-envs", "32", "--epochs", "1",
              "--episode-length-s", "4", "--out", data])
-    run_cli(["train-tube", "--data", data, "--epochs", "3", "--oneshot",
+    # 30 epochs: the reference-parity VectorTubeLoss sums pinball over the
+    # H_fwd horizon before the Huber, so early-training width predictions
+    # shrink slower than the scalar loss — 3 epochs leaves tubes too wide
+    # to pass the gap (a certified locally-infeasible plan, not a bug).
+    run_cli(["train-tube", "--data", data, "--epochs", "30", "--oneshot",
              "--H-fwd", "8", "--H-rev", "4", "--out", model])
     assert os.path.exists(model)
 
@@ -104,6 +121,7 @@ def test_plan_nn_oneshot(tmp_path):
                    "--out", str(tmp_path / "plan.npz")])
     rec = json.loads([l for l in out.splitlines() if l.startswith("{")][0])
     assert rec["viol"] < 1e-3
+    assert "verdict" in rec  # staged Woodbury path is the default
     assert os.path.exists(tmp_path / "plan.npz")
     assert "w" in np.load(tmp_path / "plan.npz")
 
@@ -125,3 +143,64 @@ def test_plan_nn_oneshot(tmp_path):
                   timeout=300)
     rec = json.loads([l for l in out.splitlines() if l.startswith("{")][0])
     assert rec["max_resolve_viol"] < 1e-2
+
+
+def test_play_recurrent_exports_lstm(tmp_path):
+    """play on a recurrent run exports the stateful LSTM TorchScript module
+    (ref helpers.py:287-313 PolicyExporterLSTM via play.py:74-87)."""
+    cfg = tmp_path / "rec.yaml"
+    cfg.write_text(
+        "task: rom_tracking\n"
+        "policy:\n"
+        "  recurrent: true\n"
+        "  rnn_hidden_size: 16\n"
+        "  actor_hidden_dims: [16]\n"
+        "  critic_hidden_dims: [16]\n"
+        "  activation: elu\n"
+    )
+    log_root = str(tmp_path / "logs")
+    run_cli(["train", "--config", str(cfg), "--num-envs", "8",
+             "--max-iterations", "2", "--log-root", log_root,
+             "--run-name", "t"], timeout=900)
+    export_dir = str(tmp_path / "export")
+    out = run_cli(["play", "--task", "rom_tracking", "--num-envs", "2",
+                   "--steps", "5", "--log-root", log_root,
+                   "--export", export_dir], timeout=900)
+    assert "exported LSTM TorchScript" in out
+    p = os.path.join(export_dir, "policy_lstm.pt")
+    assert os.path.exists(p)
+    import torch
+
+    m = torch.jit.load(p)
+    m.reset_memory()
+    assert m(torch.zeros(1, 14)).shape == (1, 2)
+
+
+def test_play_signals_fill_dashboard_panels():
+    """_play_signals on a rigid-body env produces every measured signal the
+    3x3 dashboard plots (ref logger.py:61-126 panel parity)."""
+    import jax
+    import numpy as np
+
+    jax.config.update("jax_platforms", "cpu")
+    from legged_gym_dev_tpu import envs  # noqa: F401
+    from legged_gym_dev_tpu.cli import _play_signals
+    from legged_gym_dev_tpu.envs import task_registry
+    from legged_gym_dev_tpu.utils.logger import Logger
+
+    env = task_registry.make_env("hopper_trajectory", num_envs=2,
+                                 add_noise=False)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    state, tr = jax.jit(env.step)(state, env.raibert(obs))
+    sig = jax.tree.map(np.asarray, _play_signals(env, state, tr))
+    for key in ("dof_pos", "dof_vel", "dof_torque", "base_vel_x",
+                "base_vel_y", "base_vel_z", "base_vel_yaw",
+                "contact_forces_z", "tracking_error"):
+        assert key in sig, key
+        assert np.isfinite(sig[key]).all(), key
+    logger = Logger(dt=env.dt)
+    for _ in range(3):
+        logger.log_states(sig)
+    fig = logger.plot_states()
+    populated = sum(1 for ax in fig.axes if ax.lines)
+    assert populated == 9, f"only {populated}/9 dashboard panels populated"

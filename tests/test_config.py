@@ -110,7 +110,9 @@ def test_tube_oneshot_config_spec():
     cfg = load_config(os.path.join(
         CONFIGS, "tube_learning", "tube_learning_oneshot.yaml"))
     spec = tube_spec(cfg["tube"])
-    assert spec["dataset"] == "oneshot" and spec["loss"] == "scalar"
+    # Reference parity: oneshot trains with VectorTubeLoss (ref
+    # tube_learning_oneshot.yaml, losses.py:29-37).
+    assert spec["dataset"] == "oneshot" and spec["loss"] == "vector"
     assert spec["H_rev"] == 25 and spec["H_fwd"] == 50
     assert spec["num_units"] == 128 and spec["activation"] == "softplus_b5"
 

@@ -237,3 +237,44 @@ def test_cyclic_reduction_matches_thomas(S, b):
         K[k * b:(k + 1) * b, (k + 1) * b:(k + 2) * b] = Lfull[k].T
     x_ref = np.linalg.solve(K, rhs.reshape(-1)).reshape(S, b)
     assert np.abs(x_cr - x_ref).max() < 1e-3, np.abs(x_cr - x_ref).max()
+
+
+@pytest.mark.parametrize("tube_kind", ["l1", "NN_oneshot"])
+def test_pallas_linsolve_matches_thomas(tube_kind):
+    """ALConfig(linsolve='pallas') routes the banded factor through the
+    lane-major Pallas kernel batch-major (custom_vmap dispatch; interpret
+    mode on CPU) — iterates must match the Thomas scan to solver tolerance
+    on both the l1 path and the NN chunked-Woodbury gradient column."""
+    kw = {}
+    if tube_kind == "NN_oneshot":
+        kw["tube_params"] = make_tube_nn()
+        kw["Qw"] = 0.1
+    prob, p = gap_params(**kw)
+    B = 8
+    pb = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), p)
+    pb = pb.replace(z0=pb.z0 + jnp.linspace(-0.1, 0.1, B)[:, None])
+    base = dict(outer_iters=8, inner_iters=6)
+    if tube_kind == "NN_oneshot":
+        base["nn_basis_refresh"] = 3
+    out_t = jax.jit(lambda pb: solve_tube_fast_batched(
+        pb, N, H_REV, tube_kind=tube_kind, scaling=0.5,
+        cfg=ALConfig(linsolve="thomas", **base),
+        warm_start="interpolate", tube_ws="evaluate"))(pb)
+    out_p = jax.jit(lambda pb: solve_tube_fast_batched(
+        pb, N, H_REV, tube_kind=tube_kind, scaling=0.5,
+        cfg=ALConfig(linsolve="pallas", **base),
+        warm_start="interpolate", tube_ws="evaluate"))(pb)
+    dz = float(jnp.max(jnp.abs(out_t.z - out_p.z)))
+    dw = float(jnp.max(jnp.abs(out_t.w - out_p.w)))
+    assert dz < 2e-3, dz
+    assert dw < 2e-3, dw
+
+
+def test_pallas_linsolve_single_scenario_falls_back():
+    """Unbatched (no vmap) solves hit the custom_vmap base — the entry
+    scan — and still work with linsolve='pallas'."""
+    prob, p = gap_params()
+    out = solve_tube_fast(p, N, H_REV, tube_kind="l1", scaling=0.5,
+                          cfg=ALConfig(linsolve="pallas"),
+                          warm_start="interpolate", tube_ws=0.0)
+    assert float(out.sol.viol) < 1e-3

@@ -215,3 +215,59 @@ def test_runner_with_mesh(mesh, tmp_path):
     assert len(leaf.sharding.device_set) == N_DEV
     p_leaf = jax.tree_util.tree_leaves(runner.train_state.params)[0]
     assert p_leaf.sharding.is_fully_replicated
+
+
+def test_host_mesh_2axis_solve():
+    """(dcn, ici) 2-axis host-topology mesh (SURVEY §2.2 DCN row; BASELINE
+    >=0.85x-linear multi-host): scenarios shard over the PRODUCT of both
+    axes, each solve stays chip-local — the compiled solve program contains
+    NO cross-device collectives (nothing rides DCN during solves) — while a
+    convergence-stats reduction does produce a real all-reduce."""
+    from legged_gym_dev_tpu.core import make_rom
+    from legged_gym_dev_tpu.parallel.mesh import make_host_mesh
+    from legged_gym_dev_tpu.solver import ALConfig, PROBLEM_DICT, TrajOptParams
+    from legged_gym_dev_tpu.solver.fast_tube import solve_tube_fast_batched
+
+    mesh2 = make_host_mesh(2, N_DEV // 2)
+    assert mesh2.axis_names == ("dcn", "ici")
+    assert mesh2.devices.shape == (2, N_DEV // 2)
+
+    prob = PROBLEM_DICT["gap"]
+    N, H_REV, B = 10, 5, 16
+    pm = make_rom("SingleInt2D", prob["dt"], [-10, -10], [10, 10],
+                  [-0.2, -0.2], [0.2, 0.2])
+    p = TrajOptParams.create(
+        pm, N, H_REV, 10 * np.eye(2), 10 * np.eye(2), prob["start"],
+        prob["goal"], prob["obs"]["c"], prob["obs"]["r"], Qw=0.0, w_max=1.0,
+    )
+    pb = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), p)
+    pb = pb.replace(z0=pb.z0 + jnp.linspace(-0.1, 0.1, B)[:, None])
+    cfg = ALConfig(outer_iters=5, inner_iters=5)
+
+    solve = jax.jit(lambda pb: solve_tube_fast_batched(
+        pb, N, H_REV, tube_kind="l1", scaling=0.5, cfg=cfg,
+        warm_start="interpolate", tube_ws=0.0,
+    ))
+    out_single = solve(pb)
+
+    pb2 = shard_batch(pb, mesh2, axis=("dcn", "ici"), batch_size=B)
+    out2 = solve(pb2)
+    np.testing.assert_allclose(np.asarray(out2.z), np.asarray(out_single.z),
+                               atol=1e-5)
+    assert len(out2.z.sharding.device_set) == N_DEV
+
+    # Solve program: chip-local — no collectives may cross the mesh
+    # (neither ici nor dcn).
+    hlo = solve.lower(pb2).compile().as_text()
+    for coll in ("all-reduce", "all-gather", "collective-permute",
+                 "reduce-scatter", "all-to-all"):
+        assert coll not in hlo, f"solve program unexpectedly contains {coll}"
+
+    # Convergence stats DO reduce across the mesh (the only traffic that
+    # crosses DCN between re-solves).
+    stats = jax.jit(lambda pb: jnp.mean(
+        (solve(pb).sol.viol < 1e-3).astype(jnp.float32)))
+    frac = stats(pb2)
+    assert 0.0 <= float(frac) <= 1.0
+    hlo_stats = stats.lower(pb2).compile().as_text()
+    assert ("all-reduce" in hlo_stats) or ("all_reduce" in hlo_stats)
