@@ -23,8 +23,12 @@ import time
 import numpy as np
 
 
-def run_mode(tube: str, batch: int):
-    """One benchmark batch; returns the stats dict."""
+def run_mode(tube: str, batch: int, linsolve: str = None):
+    """One benchmark batch; returns the stats dict.
+
+    ``linsolve`` overrides ALConfig.linsolve (None keeps the tuned bench
+    default; scripts/bench_pallas_production.py A/Bs the options).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -88,8 +92,13 @@ def run_mode(tube: str, batch: int):
     # ~10x faster compiles (docs/PERF.md round-2 A/Bs); interpolate warm
     # start (the nominal pre-solve costs ~0.2 s/batch and does not change
     # feasibility here).
-    cfg = (ALConfig() if tube == "l1"
-           else ALConfig(nn_basis_refresh=3))
+    # Production default: the lane-major Pallas kernel factor (same-session
+    # A/B vs the Thomas scan, docs/PERF.md round 3: l1 1.25x at B=1024 /
+    # 1.06x at B=4096, NN_oneshot 1.2x, feasibility unchanged).
+    if linsolve is None:
+        linsolve = os.environ.get("BENCH_LINSOLVE", "pallas")
+    cfg = (ALConfig(linsolve=linsolve) if tube == "l1"
+           else ALConfig(nn_basis_refresh=3, linsolve=linsolve))
 
     # Structured stage-wise solver: block-tridiagonal KKT factorization
     # (solver/fast_tube.py) — the TPU-native replacement for IPOPT's sparse
@@ -149,6 +158,100 @@ def run_mode(tube: str, batch: int):
     }
 
 
+def measure_tick_budget(Bs=(512, 1024, 2048), budget_s: float = 0.1):
+    """Whole-batch closed-loop re-solve wall vs the 0.1 s ROM tick.
+
+    The reference re-solves ONE scenario per tick on CPU (~100 ms
+    warm-started, ref tube_planning_closed_loop.py:80,157); here the
+    receding-horizon loop re-solves the WHOLE scenario batch between ROM
+    ticks (flagship pipeline, docs/PERF.md). This measures the
+    NN_oneshot warm re-solve (cfg_loop = 5x6, the flagship schedule) at
+    several batch sizes and reports the largest batch that fits the tick.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from legged_gym_dev_tpu.core import make_rom
+    from legged_gym_dev_tpu.solver import ALConfig, PROBLEM_DICT, TrajOptParams
+    from legged_gym_dev_tpu.solver.fast_tube import (
+        StagedProblem,
+        solve_tube_fast_batched,
+        solve_tube_fast_single,
+        staged_bounds,
+    )
+    from legged_gym_dev_tpu.tube.models import MLP
+
+    N, H_REV = 50, 10
+    B_all = max(Bs)
+    prob = PROBLEM_DICT["gap"]
+    pm = make_rom(
+        "SingleInt2D", prob["dt"],
+        [-prob["pos_max"]] * 2, [prob["pos_max"]] * 2,
+        [-prob["vel_max"]] * 2, [prob["vel_max"]] * 2,
+    )
+    nn = MLP.create(jax.random.PRNGKey(0), H_REV + (H_REV + N) * 2, N,
+                    num_units=128, num_layers=2, final_activation="softplus")
+    ws, bs = list(nn.weights), list(nn.biases)
+    ws[-1] = ws[-1] * 0.1
+    bs[-1] = bs[-1] * 0.0 - 2.5
+    nn = nn.replace(weights=tuple(ws), biases=tuple(bs))
+    p = TrajOptParams.create(
+        pm, N, H_REV, 10 * np.eye(2), 10 * np.eye(2), prob["start"],
+        prob["goal"], prob["obs"]["c"], prob["obs"]["r"], Qw=0.1,
+        w_max=1.0, tube_params=nn,
+    )
+    rng = np.random.default_rng(1)
+    pb = jax.tree.map(lambda x: jnp.broadcast_to(x, (B_all,) + x.shape), p)
+    pb = pb.replace(
+        z0=pb.z0 + jnp.asarray(rng.uniform(-0.15, 0.15, (B_all, 2)),
+                               jnp.float32))
+    linsolve = os.environ.get("BENCH_LINSOLVE", "pallas")
+    cfg_first = ALConfig(nn_basis_refresh=3, linsolve=linsolve)
+    cfg_loop = ALConfig(outer_iters=5, inner_iters=6, nn_basis_refresh=3,
+                        linsolve=linsolve)
+    sp = StagedProblem(n=2, m=2, N=N, K=2, tube_kind="nn", scaling=0.5,
+                       track_ref=False)
+    lb_u, ub_u = staged_bounds(p, 2, 2, N)
+
+    out0 = jax.jit(lambda pb: solve_tube_fast_batched(
+        pb, N, H_REV, tube_kind="NN_oneshot", scaling=0.5, cfg=cfg_first,
+        warm_start="interpolate", tube_ws="evaluate"))(pb)
+    u_all = out0.sol.x.reshape(B_all, N + 1, -1)
+    np.asarray(u_all)
+
+    def resolve(pb_s, u0, lam0, mu0, rho0):
+        return jax.vmap(
+            lambda pp, uu, ll, mm, rr: solve_tube_fast_single(
+                sp, pp, uu, lb_u, ub_u, cfg_loop,
+                lam0=ll, mu0=mm, rho_init=rr)
+        )(pb_s, u0, lam0, mu0, rho0)
+
+    resolve_j = jax.jit(resolve)
+    walls = {}
+    for B in sorted(Bs):
+        pb_s = jax.tree.map(lambda x: x[:B], pb)
+        # advance z0 one ROM step along the plan (the MPC loop's update);
+        # pm is the UNBATCHED rom (pb_s.rom's broadcast dt would mis-shape)
+        v0 = out0.v[:B, 0]
+        pb_s = pb_s.replace(z0=pm.f(pb_s.z0, v0))
+        a = (u_all[:B], out0.sol.lam[:B], out0.sol.mu[:B], out0.sol.rho[:B])
+        out = resolve_j(pb_s, *a)
+        np.asarray(out.x)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = resolve_j(pb_s, *a)
+            np.asarray(out.x)
+            ts.append(time.perf_counter() - t0)
+        walls[B] = round(min(ts), 4)
+    fits = [B for B in Bs if walls[B] < budget_s]
+    return {
+        "budget_s": budget_s,
+        "resolve_wall_s": {str(k): v for k, v in walls.items()},
+        "B_max": max(fits) if fits else 0,
+    }
+
+
 def main():
     from legged_gym_dev_tpu.utils.runtime import setup_tpu_runtime
 
@@ -173,6 +276,11 @@ def main():
         nn = run_mode("NN_oneshot",
                       int(os.environ.get("BENCH_NN_BATCH", "1024")))
         rec.update({f"nn_{k}": v for k, v in nn.items()})
+
+    # Closed-loop tick budget: largest whole-batch NN re-solve that fits
+    # the 0.1 s ROM tick (BASELINE "per-step real-time budget matched").
+    if not os.environ.get("BENCH_SKIP_TICK"):
+        rec["tick_budget"] = measure_tick_budget()
 
     print(json.dumps(rec))
 

@@ -490,7 +490,10 @@ def _make_problem(args, tube_params=None):
 
 def _staged_cfg(args, loop: bool = False):
     """Solver config for the CLI's staged fast path (bench defaults:
-    chunked Woodbury-basis refresh for the NN tube, docs/PERF.md)."""
+    chunked Woodbury-basis refresh for the NN tube; the Pallas kernel
+    factor on TPU — 1.2-1.25x the Thomas scan, docs/PERF.md)."""
+    import jax
+
     from .solver import ALConfig
 
     kw = {}
@@ -498,6 +501,10 @@ def _staged_cfg(args, loop: bool = False):
         kw["nn_basis_refresh"] = 3
     if loop:
         kw.update(outer_iters=5, inner_iters=6)
+    if jax.default_backend() != "cpu":
+        # interpret-mode pallas on CPU is orders slower than the scan;
+        # only the compiled TPU kernel wins.
+        kw["linsolve"] = "pallas"
     return ALConfig(**kw)
 
 

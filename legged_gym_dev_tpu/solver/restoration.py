@@ -143,20 +143,59 @@ def restore_feasibility(sp, p, u0, lb_u, ub_u,
 
 def certify_staged(sp, p, u_final, viol_final, lb_u, ub_u,
                    cfg: Optional[ALConfig] = None,
-                   tol: float = 1e-3) -> CertResult:
+                   tol: float = 1e-3, escalate: bool = True) -> CertResult:
     """Classify one scenario's solve outcome (vmap to batch).
 
     Args:
       u_final: (S, b) staged iterate from the tube solve.
       viol_final: () its max constraint violation (``sol.viol``).
+      escalate: run a SECOND restoration attempt from the interpolate warm
+        start (a fresh basin — the solver's final iterate can sit in a bad
+        one, e.g. wedged at an l1 kink behind an obstacle) with a deeper
+        schedule and a longer polish. The escalation exists to make the
+        "failed" verdict (violating, unrestorable, uncertified — a solver
+        failure) empty: every violating scenario either restores or ends
+        at a first-order-stationary theta minimizer (a local-infeasibility
+        certificate, the signal IPOPT's restoration failure carries,
+        ref tube_trajopt.py:256-277).
     """
-    from .fast_tube import _residuals
+    from .fast_tube import _residuals, pack_staged
+    from .trajopt import warm_start_interpolate
+
+    def viol_of(uu):
+        _, h, g = _residuals(sp, uu, p)
+        return jnp.maximum(jnp.max(jnp.abs(h)),
+                           jnp.max(jnp.maximum(-g, 0.0)))
 
     sol_r = restore_feasibility(sp, p, u_final, lb_u, ub_u, cfg)
     u_r, th, pg, stalled = _pgd_polish(
         sp, p, sol_r.x.reshape(u_final.shape), lb_u, ub_u)
-    _, h, g = _residuals(sp, u_r, p)
-    viol_r = jnp.maximum(jnp.max(jnp.abs(h)), jnp.max(jnp.maximum(-g, 0.0)))
+    viol_r = viol_of(u_r)
+    stationary = stalled | (pg < 1e-4 + 1e-2 * jnp.sqrt(2.0 * th))
+
+    if escalate:
+        n, m, N = sp.n, sp.m, sp.N
+        z_i, v_i = warm_start_interpolate(p.z0, p.zf, N, p.rom.dt, m=m)
+        u_i = pack_staged(z_i, jnp.zeros(N + 1), v_i, n, m, N)
+        u_i = jnp.clip(u_i, lb_u, ub_u)
+        cfg2 = ALConfig(outer_iters=6, inner_iters=16, ls_iters=24,
+                        rho0=1e3, penalty_only=True)
+        sol_r2 = restore_feasibility(sp, p, u_i, lb_u, ub_u, cfg2)
+        u_r2, th2, pg2, stalled2 = _pgd_polish(
+            sp, p, sol_r2.x.reshape(u_final.shape), lb_u, ub_u, iters=512)
+        viol_r2 = viol_of(u_r2)
+        stationary2 = stalled2 | (pg2 < 1e-4 + 1e-2 * jnp.sqrt(2.0 * th2))
+        # Report whichever attempt reached the lower violation; a
+        # stationary theta > 0 from EITHER basin certifies local
+        # infeasibility.
+        better2 = viol_r2 < viol_r
+        u_r = jnp.where(better2, u_r2, u_r)
+        viol_r = jnp.where(better2, viol_r2, viol_r)
+        th = jnp.where(better2, th2, th)
+        pg = jnp.where(better2, pg2, pg)
+        stalled = jnp.where(better2, stalled2, stalled)
+        stationary = stationary | stationary2
+
     feas0 = viol_final < tol
     feas_r = viol_r < tol
     # First-order stationarity of theta: either the smooth projected
@@ -164,7 +203,6 @@ def certify_staged(sp, p, u_final, viol_final, lb_u, ub_u,
     # ||J|| * ||c|| with O(1) Jacobian entries), or the PGD polish
     # exhausted its backtracking — no descent direction exists at 1e-9
     # resolution (Clarke stationarity at the l1 tube rows' |v|-kinks).
-    stationary = stalled | (pg < 1e-4 + 1e-2 * jnp.sqrt(2.0 * th))
     verdict = jnp.where(
         feas0, VERDICT_FEASIBLE,
         jnp.where(feas_r, VERDICT_RESTORED,
@@ -177,9 +215,10 @@ def certify_staged(sp, p, u_final, viol_final, lb_u, ub_u,
 
 def certify_staged_batched(sp, p_batch, u_final, viol_final, lb_u, ub_u,
                            cfg: Optional[ALConfig] = None,
-                           tol: float = 1e-3) -> CertResult:
+                           tol: float = 1e-3,
+                           escalate: bool = True) -> CertResult:
     """vmap over (p, u_final, viol_final); bounds are shared."""
     fn = functools.partial(certify_staged, sp, lb_u=lb_u, ub_u=ub_u,
-                           cfg=cfg, tol=tol)
+                           cfg=cfg, tol=tol, escalate=escalate)
     return jax.vmap(lambda pp, uu, vv: fn(pp, uu, vv))(
         p_batch, u_final, viol_final)

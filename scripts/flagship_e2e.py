@@ -48,6 +48,8 @@ def main():
     N, H_REV = 50, 10
     COLLECT_ENVS = int(os.environ.get("COLLECT_ENVS", "1024"))
     EPOCHS = int(os.environ.get("EPOCHS", "40"))
+    LINSOLVE = os.environ.get(
+        "LINSOLVE", "auto" if os.environ.get("E2E_CPU") else "pallas")
 
     report = {}
 
@@ -78,7 +80,7 @@ def main():
     # 2. Train the one-shot horizon tube net (ref train_tube.py)
     # ------------------------------------------------------------------
     from legged_gym_dev_tpu.tube.datasets import scalar_horizon_tube_dataset
-    from legged_gym_dev_tpu.tube.losses import scalar_tube_loss
+    from legged_gym_dev_tpu.tube.losses import vector_tube_loss
     from legged_gym_dev_tpu.tube.models import MLP
     from legged_gym_dev_tpu.tube.train import TrainConfig, train_tube
 
@@ -89,7 +91,9 @@ def main():
                        final_activation="softplus")
     res = train_tube(
         ds, model,
-        lambda fw, w, x: scalar_tube_loss(fw, w, alpha=0.9),
+        # VectorTubeLoss: reference-parity oneshot loss (ref
+        # tube_learning_oneshot.yaml, losses.py:29-37).
+        lambda fw, w, x: vector_tube_loss(fw, w, alpha=0.9),
         TrainConfig(epochs=EPOCHS, batch_size=1024, eval_every=10),
     )
     t_train = time.perf_counter() - t0
@@ -140,8 +144,9 @@ def main():
     run = jax.jit(jax.vmap(lambda pp: closed_loop_tube_mpc_fast(
         pp, robot, tube_kind="NN_oneshot", scaling=0.5, H=H, N=N,
         H_rev=H_REV,
-        cfg_first=ALConfig(nn_basis_refresh=3),
-        cfg_loop=ALConfig(outer_iters=5, inner_iters=6, nn_basis_refresh=3),
+        cfg_first=ALConfig(nn_basis_refresh=3, linsolve=LINSOLVE),
+        cfg_loop=ALConfig(outer_iters=5, inner_iters=6, nn_basis_refresh=3,
+                          linsolve=LINSOLVE),
         warm_start="nominal", tube_ws="evaluate",
     )))
 

@@ -278,3 +278,34 @@ def test_pallas_linsolve_single_scenario_falls_back():
                           cfg=ALConfig(linsolve="pallas"),
                           warm_start="interpolate", tube_ws=0.0)
     assert float(out.sol.viol) < 1e-3
+
+
+def test_bucketed_solve_matches_single_phase():
+    """Two-phase convergence bucketing (solver/bucketed.py) must preserve
+    feasibility and match single-phase iterates on co-feasible scenarios
+    to solver tolerance."""
+    from legged_gym_dev_tpu.solver.bucketed import solve_tube_fast_bucketed
+
+    prob, p = gap_params()
+    B = 32
+    rng = np.random.default_rng(0)
+    pb = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), p)
+    pb = pb.replace(
+        z0=pb.z0 + jnp.asarray(rng.uniform(-0.15, 0.15, (B, 2)),
+                               jnp.float32),
+        obs_r=pb.obs_r * jnp.asarray(rng.uniform(0.85, 1.0, (B, 2)),
+                                     jnp.float32))
+    cfg = ALConfig()
+    out_s = jax.jit(lambda pb: solve_tube_fast_batched(
+        pb, N, H_REV, tube_kind="l1", scaling=0.5, cfg=cfg,
+        warm_start="interpolate", tube_ws="evaluate"))(pb)
+    out_b, stats = solve_tube_fast_bucketed(
+        pb, N, H_REV, tube_kind="l1", scaling=0.5, cfg=cfg,
+        phase1_outers=14, warm_start="interpolate", tube_ws="evaluate")
+    v_s = np.asarray(out_s.sol.viol)
+    v_b = np.asarray(out_b.sol.viol)
+    assert (v_b < 1e-3).mean() >= (v_s < 1e-3).mean() - 1e-9
+    both = (v_s < 1e-3) & (v_b < 1e-3)
+    dz = np.abs(np.asarray(out_s.z) - np.asarray(out_b.z))[both].max()
+    assert dz < 2e-3, dz
+    assert stats["unconverged_after_phase1"] <= B

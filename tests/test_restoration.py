@@ -11,8 +11,10 @@ from legged_gym_dev_tpu.core import make_rom
 from legged_gym_dev_tpu.solver import (
     ALConfig,
     PROBLEM_DICT,
+    VERDICT_FAILED,
     VERDICT_FEASIBLE,
     VERDICT_INFEASIBLE,
+    VERDICT_RESTORED,
     TrajOptParams,
     certify_staged,
     certify_staged_batched,
@@ -124,3 +126,55 @@ def test_mpc_gate_falls_back_to_last_plan():
                            warm_start="interpolate", tube_ws="evaluate")
     # Executed inputs = the first plan's stages 0..H-1, in order.
     assert np.allclose(np.asarray(v), np.asarray(out0.v[:H]), atol=1e-5)
+
+
+def test_escalation_restores_adversarial_iterate():
+    """A deliberately wrecked final iterate on a FEASIBLE problem must end
+    'restored', never 'failed': the escalation's second restoration from
+    the interpolate warm start provides a fresh basin when the first
+    attempt starts from the wreck (VERDICT r2 weak #1 / next #3)."""
+    prob = PROBLEM_DICT["gap"]
+    p = make_params(prob["start"], prob["goal"], prob["obs"]["c"],
+                    prob["obs"]["r"])
+    sp = StagedProblem(n=2, m=2, N=N, K=2, tube_kind="l1", scaling=0.5,
+                       track_ref=False)
+    lb_u, ub_u = staged_bounds(p, 2, 2, N)
+    # Wreck: park the whole trajectory inside obstacle 0 with v at the
+    # bound (an l1-kink-adjacent corner) and w at w_max.
+    u_bad = jnp.zeros((N + 1, 5))
+    u_bad = u_bad.at[:, :2].set(jnp.asarray(prob["obs"]["c"][0]))
+    u_bad = u_bad.at[:, 2].set(1.0)       # w = w_max
+    u_bad = u_bad.at[:-1, 3:].set(0.2)    # v at the bound
+    u_bad = jnp.clip(u_bad, lb_u, ub_u)
+    from legged_gym_dev_tpu.solver.fast_tube import _residuals
+
+    _, h, g = _residuals(sp, u_bad, p)
+    viol_bad = jnp.maximum(jnp.max(jnp.abs(h)),
+                           jnp.max(jnp.maximum(-g, 0.0)))
+    assert float(viol_bad) > 0.1  # genuinely wrecked
+    cert = certify_staged(sp, p, u_bad, viol_bad, lb_u, ub_u)
+    assert int(cert.verdict) == VERDICT_RESTORED, (
+        int(cert.verdict), float(cert.viol_restored))
+    assert float(cert.viol_restored) < 1e-3
+
+
+def test_escalation_beats_single_restoration():
+    """The same wrecked iterate with escalate=False must do no better than
+    with escalation (and the verdict may not degrade to 'failed' when
+    escalation is on) — covers the failed -> restored|infeasible
+    escalation contract."""
+    prob = PROBLEM_DICT["gap"]
+    p = make_params(prob["start"], prob["goal"], prob["obs"]["c"],
+                    prob["obs"]["r"])
+    sp = StagedProblem(n=2, m=2, N=N, K=2, tube_kind="l1", scaling=0.5,
+                       track_ref=False)
+    lb_u, ub_u = staged_bounds(p, 2, 2, N)
+    u_bad = jnp.zeros((N + 1, 5))
+    u_bad = u_bad.at[:, :2].set(jnp.asarray(prob["obs"]["c"][0]))
+    u_bad = u_bad.at[:, 2].set(1.0)
+    u_bad = jnp.clip(u_bad, lb_u, ub_u)
+    viol_bad = jnp.asarray(1.0)
+    c1 = certify_staged(sp, p, u_bad, viol_bad, lb_u, ub_u, escalate=False)
+    c2 = certify_staged(sp, p, u_bad, viol_bad, lb_u, ub_u, escalate=True)
+    assert float(c2.viol_restored) <= float(c1.viol_restored) + 1e-6
+    assert int(c2.verdict) != VERDICT_FAILED
