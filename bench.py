@@ -158,31 +158,30 @@ def run_mode(tube: str, batch: int, linsolve: str = None):
     }
 
 
-def measure_tick_budget(Bs=(512, 1024, 2048), budget_s: float = 0.1):
-    """Whole-batch closed-loop re-solve wall vs the 0.1 s ROM tick.
+def measure_tick_budget(Bs=(1024, 2048), budget_s: float = 0.1,
+                        H: int = 25):
+    """Whole-batch closed-loop re-solve tick vs the 0.1 s ROM budget.
 
     The reference re-solves ONE scenario per tick on CPU (~100 ms
     warm-started, ref tube_planning_closed_loop.py:80,157); here the
     receding-horizon loop re-solves the WHOLE scenario batch between ROM
-    ticks (flagship pipeline, docs/PERF.md). This measures the
-    NN_oneshot warm re-solve (cfg_loop = 5x6, the flagship schedule) at
-    several batch sizes and reports the largest batch that fits the tick.
+    ticks. This measures the REAL amortized tick — the jitted
+    ``closed_loop_tube_mpc_fast`` scan's wall over H+1 solves (no
+    per-call host dispatch, exactly how the loop deploys) — with the
+    4x6-chunk3 loop schedule (scripts/tune_loop_schedule.py sweep:
+    83.4 ms/tick at B=1024 with 99.7% plan adoption and coverage 1.0;
+    5 outers costs 101.6 ms for the same adoption, chunk6/4x4 schedules
+    collapse adoption to ~0.7), and the quality gate (adoption) alongside.
     """
     import jax
     import jax.numpy as jnp
 
-    from legged_gym_dev_tpu.core import make_rom
+    from legged_gym_dev_tpu.core import DoubleInt2D, make_rom
     from legged_gym_dev_tpu.solver import ALConfig, PROBLEM_DICT, TrajOptParams
-    from legged_gym_dev_tpu.solver.fast_tube import (
-        StagedProblem,
-        solve_tube_fast_batched,
-        solve_tube_fast_single,
-        staged_bounds,
-    )
+    from legged_gym_dev_tpu.solver.fast_tube import closed_loop_tube_mpc_fast
     from legged_gym_dev_tpu.tube.models import MLP
 
     N, H_REV = 50, 10
-    B_all = max(Bs)
     prob = PROBLEM_DICT["gap"]
     pm = make_rom(
         "SingleInt2D", prob["dt"],
@@ -200,54 +199,46 @@ def measure_tick_budget(Bs=(512, 1024, 2048), budget_s: float = 0.1):
         prob["goal"], prob["obs"]["c"], prob["obs"]["r"], Qw=0.1,
         w_max=1.0, tube_params=nn,
     )
-    rng = np.random.default_rng(1)
-    pb = jax.tree.map(lambda x: jnp.broadcast_to(x, (B_all,) + x.shape), p)
-    pb = pb.replace(
-        z0=pb.z0 + jnp.asarray(rng.uniform(-0.15, 0.15, (B_all, 2)),
-                               jnp.float32))
+    robot = DoubleInt2D.create(
+        prob["dt"], [-np.inf, -np.inf, -0.3, -0.3],
+        [np.inf, np.inf, 0.3, 0.3], [-0.5, -0.5], [0.5, 0.5],
+    )
     linsolve = os.environ.get("BENCH_LINSOLVE", "pallas")
     cfg_first = ALConfig(nn_basis_refresh=3, linsolve=linsolve)
-    cfg_loop = ALConfig(outer_iters=5, inner_iters=6, nn_basis_refresh=3,
+    cfg_loop = ALConfig(outer_iters=4, inner_iters=6, nn_basis_refresh=3,
                         linsolve=linsolve)
-    sp = StagedProblem(n=2, m=2, N=N, K=2, tube_kind="nn", scaling=0.5,
-                       track_ref=False)
-    lb_u, ub_u = staged_bounds(p, 2, 2, N)
+    run = jax.jit(jax.vmap(lambda pp: closed_loop_tube_mpc_fast(
+        pp, robot, tube_kind="NN_oneshot", scaling=0.5, H=H, N=N,
+        H_rev=H_REV, cfg_first=cfg_first, cfg_loop=cfg_loop,
+        warm_start="interpolate", tube_ws="evaluate")))
 
-    out0 = jax.jit(lambda pb: solve_tube_fast_batched(
-        pb, N, H_REV, tube_kind="NN_oneshot", scaling=0.5, cfg=cfg_first,
-        warm_start="interpolate", tube_ws="evaluate"))(pb)
-    u_all = out0.sol.x.reshape(B_all, N + 1, -1)
-    np.asarray(u_all)
-
-    def resolve(pb_s, u0, lam0, mu0, rho0):
-        return jax.vmap(
-            lambda pp, uu, ll, mm, rr: solve_tube_fast_single(
-                sp, pp, uu, lb_u, ub_u, cfg_loop,
-                lam0=ll, mu0=mm, rho_init=rr)
-        )(pb_s, u0, lam0, mu0, rho0)
-
-    resolve_j = jax.jit(resolve)
-    walls = {}
+    rng = np.random.default_rng(1)
+    walls, adopted = {}, {}
     for B in sorted(Bs):
-        pb_s = jax.tree.map(lambda x: x[:B], pb)
-        # advance z0 one ROM step along the plan (the MPC loop's update);
-        # pm is the UNBATCHED rom (pb_s.rom's broadcast dt would mis-shape)
-        v0 = out0.v[:B, 0]
-        pb_s = pb_s.replace(z0=pm.f(pb_s.z0, v0))
-        a = (u_all[:B], out0.sol.lam[:B], out0.sol.mu[:B], out0.sol.rho[:B])
-        out = resolve_j(pb_s, *a)
-        np.asarray(out.x)
+        pb = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), p)
+        pb = pb.replace(
+            z0=pb.z0 + jnp.asarray(rng.uniform(-0.15, 0.15, (B, 2)),
+                                   jnp.float32),
+            zf=pb.zf + jnp.asarray(rng.uniform(-0.15, 0.15, (B, 2)),
+                                   jnp.float32))
+        out = run(pb)
+        np.asarray(out[0])
+        for _ in range(2):
+            out = run(pb)
+        np.asarray(out[0])
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            out = resolve_j(pb_s, *a)
-            np.asarray(out.x)
+            out = run(pb)
+            np.asarray(out[0])
             ts.append(time.perf_counter() - t0)
-        walls[B] = round(min(ts), 4)
+        walls[B] = round(min(ts) / (H + 1), 4)
+        adopted[B] = round(float(np.asarray(out[5]).mean()), 4)
     fits = [B for B in Bs if walls[B] < budget_s]
     return {
         "budget_s": budget_s,
-        "resolve_wall_s": {str(k): v for k, v in walls.items()},
+        "tick_wall_s": {str(k): v for k, v in walls.items()},
+        "adopted_frac": {str(k): v for k, v in adopted.items()},
         "B_max": max(fits) if fits else 0,
     }
 

@@ -500,7 +500,9 @@ def _staged_cfg(args, loop: bool = False):
     if args.tube_dyn == "NN_oneshot":
         kw["nn_basis_refresh"] = 3
     if loop:
-        kw.update(outer_iters=5, inner_iters=6)
+        # 4x6 warm re-solve schedule (tuned: fits the 0.1 s ROM tick at
+        # B=1024 with adoption/coverage parity to 5x6, docs/PERF.md).
+        kw.update(outer_iters=4, inner_iters=6)
     if jax.default_backend() != "cpu":
         # interpret-mode pallas on CPU is orders slower than the scan;
         # only the compiled TPU kernel wins.

@@ -27,6 +27,7 @@ ref trajopt/tube_trajopt.py:277); this is a TPU-batch-shape concern only.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +50,23 @@ def _next_bucket(n: int, minimum: int = 128) -> int:
     return b
 
 
+@functools.lru_cache(maxsize=None)
+def _phase1_fn(N, H_rev, tube_kind, scaling, cfg1, warm_start, tube_ws):
+    """Cached jitted phase-1 solve (a fresh jax.jit wrapper per call would
+    re-trace every invocation — the A/B loop calls this repeatedly)."""
+    return jax.jit(lambda pb: solve_tube_fast_batched(
+        pb, N, H_rev, tube_kind=tube_kind, scaling=scaling, cfg=cfg1,
+        warm_start=warm_start, tube_ws=tube_ws))
+
+
+@functools.lru_cache(maxsize=None)
+def _phase2_fn(sp, cfg2):
+    return jax.jit(lambda pp, uu, ll, mm, rr, lb, ub: jax.vmap(
+        lambda p_, u_, l_, m_, r_: solve_tube_fast_single(
+            sp, p_, u_, lb, ub, cfg2, lam0=l_, mu0=m_, rho_init=r_)
+    )(pp, uu, ll, mm, rr))
+
+
 def solve_tube_fast_bucketed(
     p_batch,
     N: int,
@@ -66,11 +84,9 @@ def solve_tube_fast_bucketed(
     cfg1 = dataclasses.replace(cfg, outer_iters=phase1_outers)
     cfg2 = dataclasses.replace(cfg, outer_iters=cfg.outer_iters - phase1_outers)
 
-    out1 = jax.jit(
-        lambda pb: solve_tube_fast_batched(
-            pb, N, H_rev, tube_kind=tube_kind, scaling=scaling, cfg=cfg1,
-            warm_start=warm_start, tube_ws=tube_ws)
-    )(p_batch)
+    tube_ws_key = tube_ws if isinstance(tube_ws, str) else float(tube_ws)
+    out1 = _phase1_fn(N, H_rev, tube_kind, scaling, cfg1, warm_start,
+                      tube_ws_key)(p_batch)
 
     conv = np.asarray(out1.sol.converged)
     B = conv.shape[0]
@@ -97,13 +113,8 @@ def solve_tube_fast_bucketed(
     mu_sub = out1.sol.mu[pad_j]
     rho_sub = out1.sol.rho[pad_j]
 
-    sol2 = jax.jit(
-        lambda pp, uu, ll, mm, rr: jax.vmap(
-            lambda p_, u_, l_, m_, r_: solve_tube_fast_single(
-                sp, p_, u_, lb_u, ub_u, cfg2,
-                lam0=l_, mu0=m_, rho_init=r_)
-        )(pp, uu, ll, mm, rr)
-    )(p_sub, u_sub, lam_sub, mu_sub, rho_sub)
+    sol2 = _phase2_fn(sp, cfg2)(p_sub, u_sub, lam_sub, mu_sub, rho_sub,
+                                lb_u, ub_u)
 
     take = jnp.asarray(idx)
     src = jnp.arange(idx.size)

@@ -174,7 +174,57 @@ def certify_staged(sp, p, u_final, viol_final, lb_u, ub_u,
     stationary = stalled | (pg < 1e-4 + 1e-2 * jnp.sqrt(2.0 * th))
 
     if escalate:
+        # Continuation pass: AL restoration (multiplier updates ON) from
+        # the polished point. The pure-penalty phase converges only
+        # linearly in rho near the feasible set — measured on the bench
+        # batch it strands tight-corridor scenarios at viol 3-10x tol
+        # (theta ~ 1e-4) and they get misclassified "failed"; with
+        # multipliers the restoration problem converges to EXACT
+        # feasibility at finite rho whenever the scenario is feasible.
+        cfg_al = ALConfig(outer_iters=8, inner_iters=12, ls_iters=20,
+                          rho0=1e3, penalty_only=False)
+        sol_al = restore_feasibility(sp, p, u_r, lb_u, ub_u, cfg_al)
+        u_al, th_al, pg_al, stalled_al = _pgd_polish(
+            sp, p, sol_al.x.reshape(u_final.shape), lb_u, ub_u, iters=128)
+        viol_al = viol_of(u_al)
+        stationary_al = stalled_al | (pg_al
+                                      < 1e-4 + 1e-2 * jnp.sqrt(2.0 * th_al))
+        better_al = viol_al < viol_r
+        u_r = jnp.where(better_al, u_al, u_r)
+        viol_r = jnp.where(better_al, viol_al, viol_r)
+        th = jnp.where(better_al, th_al, th)
+        pg = jnp.where(better_al, pg_al, pg)
+        stalled = jnp.where(better_al, stalled_al, stalled)
+        stationary = stationary | stationary_al
+
+    if escalate:
+        # Stay-at-start candidate: z == z0, v = 0, w = tube(0). For the
+        # single/double-integrator ROM family this satisfies dynamics, IC
+        # and tube rows EXACTLY, so it is feasible whenever z0 sits
+        # outside the (w-inflated) obstacles — a closed-form restoration
+        # point for precisely the tight-corridor scenarios whose theta
+        # landscape traps descent methods at nonzero local minima
+        # (measured: bench scenarios with viol_r ~ 3-9e-3 where f64
+        # L-BFGS from the interpolate start lands even higher; "stop
+        # where you are" is the plan the MPC gate falls back to anyway).
+        # For ROMs where it is not feasible it simply scores a high viol
+        # and loses the candidate selection below.
+        from .fast_tube import _tube_fw
+
         n, m, N = sp.n, sp.m, sp.N
+        z_stay = jnp.broadcast_to(p.z0, (N + 1, n))
+        v_stay = jnp.zeros((N, m))
+        fw_stay = _tube_fw(sp, z_stay, v_stay, p)
+        w_stay = jnp.concatenate([jnp.zeros((1,)), fw_stay])
+        u_stay = pack_staged(z_stay, w_stay, v_stay, n, m, N)
+        u_stay = jnp.clip(u_stay, lb_u, ub_u)
+        viol_stay = viol_of(u_stay)
+        better_stay = viol_stay < viol_r
+        u_r = jnp.where(better_stay, u_stay, u_r)
+        viol_r = jnp.where(better_stay, viol_stay, viol_r)
+        # (theta/pg/stalled keep the descent attempt's values: the stay
+        # candidate is a feasibility witness, not a theta minimizer.)
+
         z_i, v_i = warm_start_interpolate(p.z0, p.zf, N, p.rom.dt, m=m)
         u_i = pack_staged(z_i, jnp.zeros(N + 1), v_i, n, m, N)
         u_i = jnp.clip(u_i, lb_u, ub_u)

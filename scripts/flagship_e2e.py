@@ -145,7 +145,10 @@ def main():
         pp, robot, tube_kind="NN_oneshot", scaling=0.5, H=H, N=N,
         H_rev=H_REV,
         cfg_first=ALConfig(nn_basis_refresh=3, linsolve=LINSOLVE),
-        cfg_loop=ALConfig(outer_iters=5, inner_iters=6, nn_basis_refresh=3,
+        # 4x6-chunk3 loop schedule: fits the 0.1 s ROM tick at B=1024
+        # (83.4 ms/tick) at equal adoption/coverage to 5x6
+        # (scripts/tune_loop_schedule.py sweep, docs/PERF.md).
+        cfg_loop=ALConfig(outer_iters=4, inner_iters=6, nn_basis_refresh=3,
                           linsolve=LINSOLVE),
         warm_start="nominal", tube_ws="evaluate",
     )))
