@@ -64,22 +64,25 @@ def main():
 
         # interleaved A/B
         res = {}
+        def unpack(out):
+            # bucketed returns (TrajOptSolution, stats); single returns the
+            # TrajOptSolution (itself a NamedTuple, so no isinstance(tuple))
+            if isinstance(out, tuple) and len(out) == 2 \
+                    and isinstance(out[1], dict):
+                return out
+            return out, None
+
         for tag, fn in (("single", lambda: single(pb)),
                         ("bucketed", lambda: bucketed(pb))):
-            out = fn()
-            out = out[0] if isinstance(out, tuple) else out
+            out, stats = unpack(fn())
             np.asarray(out.z)
             for _ in range(2):
-                out = fn()
-                out = out[0] if isinstance(out, tuple) else out
+                out, stats = unpack(fn())
             np.asarray(out.z)
             ts = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                out = fn()
-                stats = None
-                if isinstance(out, tuple):
-                    out, stats = out
+                out, stats = unpack(fn())
                 np.asarray(out.z)
                 ts.append(time.perf_counter() - t0)
             viol = np.asarray(out.sol.viol)
