@@ -161,20 +161,25 @@ def evaluate_tracking_policy(env, policy: Callable, traj_gen_cls,
         env = env.replace(sim=env.sim.replace(traj_gen=fixture))
     state, obs = env.reset(jax.random.PRNGKey(seed))
     step = jax.jit(env.step)
-    errs = []
-    for _ in range(steps):
-        state, tr = step(state, policy(obs))
-        obs = tr.obs
+
+    @jax.jit
+    def step_err(state):
         if hasattr(state, "robot"):            # rigid-body envs
             pz_x = env.rom.proj_z(state.robot.root_states)
             desired = state.trajectory[:, 0, :]
         else:                                   # ROM-only envs
             pz_x = env.sim.rom.proj_z(state.sim.root_states)
             desired = state.sim.trajectory[:, 0, :]
-        errs.append(np.asarray(
-            jnp.linalg.norm(pz_x[..., :2] - desired[..., :2], axis=-1)
-        ))
-    errs = np.stack(errs)
+        return jnp.linalg.norm(pz_x[..., :2] - desired[..., :2], axis=-1)
+
+    # Keep errors on device and fetch ONCE: a per-step np.asarray costs an
+    # RPC round trip each on the remote backend (~0.2 s/step at 400 steps).
+    errs = []
+    for _ in range(steps):
+        state, tr = step(state, policy(obs))
+        obs = tr.obs
+        errs.append(step_err(state))
+    errs = np.asarray(jnp.stack(errs))
     return {
         "mean_tracking_error": float(errs.mean()),
         "max_tracking_error": float(errs.max()),

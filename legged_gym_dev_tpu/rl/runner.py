@@ -180,8 +180,24 @@ class OnPolicyRunner:
                 return
             dt = (time.perf_counter() - t_window) / len(pending)
             steps = self.cfg.num_steps * self.env.num_envs
-            for it, dev_m in pending:
-                m = jax.tree.map(lambda x: float(np.asarray(x)), dev_m)
+            # ONE host transfer for the whole window: the remote backend
+            # pays RPC latency PER FETCH, and a 50-iteration window holds
+            # ~750 tiny metric scalars — fetching them one by one costs
+            # hundreds of ms per iteration (measured 649 ms/iter on the
+            # flagship run vs 47 ms for the same program with metric
+            # fetches batched).
+            import jax.numpy as jnp
+
+            treedef = jax.tree.structure(pending[0][1])
+            dev = jnp.stack([
+                jnp.stack([jnp.asarray(leaf, jnp.float32)
+                           for leaf in jax.tree.leaves(dev_m)])
+                for _, dev_m in pending
+            ])
+            host = np.asarray(dev)
+            for row, (it, _) in zip(host, pending):
+                m = jax.tree.unflatten(treedef,
+                                       [float(v) for v in row])
                 m["it"] = it
                 m["iter_time_s"] = dt
                 m["steps_per_s"] = steps / dt
