@@ -43,6 +43,7 @@ def main():
     EPOCHS = int(os.environ.get("EPOCHS", "40"))
     N, H_REV = 50, 10
     LINSOLVE = os.environ.get("LINSOLVE", "pallas")
+    PROBLEM = os.environ.get("PROBLEM", "gap")
 
     report = {}
 
@@ -95,9 +96,19 @@ def main():
         m = evaluate_tracking_policy(eval_env, policy, cls, steps=400)
         fixtures[name] = {k: round(float(v), 4) for k, v in m.items()}
         print(f"   fixture {name}: {fixtures[name]}", flush=True)
+    # Raibert-heuristic baseline on the same fixtures (the expert
+    # controller the reference's data pipeline can use instead of RL).
+    for name, cls in (("zero", ZeroTrajectoryGenerator),
+                      ("square", SquareTrajectoryGenerator),
+                      ("circle", CircleTrajectoryGenerator)):
+        m = evaluate_tracking_policy(eval_env, eval_env.raibert, cls,
+                                     steps=400)
+        fixtures[f"raibert_{name}"] = {k: round(float(v), 4)
+                                       for k, v in m.items()}
     report["fixture_tracking"] = fixtures
     report["fixture_tracking"]["wall_s"] = round(time.perf_counter() - t0, 1)
-    print(f"[2/5] fixture tracking eval done", flush=True)
+    print(f"[2/5] fixture tracking eval done (incl. raibert baseline)",
+          flush=True)
 
     # ------------------------------------------------------------------
     # 3. Collect tube data FROM THE TRAINED POLICY (ref
@@ -168,7 +179,7 @@ def main():
     from legged_gym_dev_tpu.solver import ALConfig, PROBLEM_DICT, TrajOptParams
     from legged_gym_dev_tpu.solver.fast_tube import closed_loop_tube_mpc_fast
 
-    prob = PROBLEM_DICT["gap"]
+    prob = PROBLEM_DICT[PROBLEM]
     pm = make_rom("SingleInt2D", prob["dt"], [-prob["pos_max"]] * 2,
                   [prob["pos_max"]] * 2, [-prob["vel_max"]] * 2,
                   [prob["vel_max"]] * 2)
@@ -227,7 +238,7 @@ def main():
     )
     cov = evaluate_tube_on_mpc_trace(trace)
     report["mpc"] = {
-        "scenarios": B, "H": H, "wall_s": round(t_mpc, 3),
+        "problem": PROBLEM, "scenarios": B, "H": H, "wall_s": round(t_mpc, 3),
         "compile_plus_first_s": round(t_first, 1),
         "per_resolve_batched_s": round(per_resolve, 4),
         "rom_tick_budget_s": prob["dt"],
