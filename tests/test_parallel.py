@@ -271,3 +271,51 @@ def test_host_mesh_2axis_solve():
     assert 0.0 <= float(frac) <= 1.0
     hlo_stats = stats.lower(pb2).compile().as_text()
     assert ("all-reduce" in hlo_stats) or ("all_reduce" in hlo_stats)
+
+
+def test_shard_map_pallas_linsolve(mesh):
+    """The Pallas kernel factor under a multi-device mesh: wrap the vmapped
+    solve in shard_map so each device runs its own kernel instance on its
+    LOCAL scenario shard (the documented deployment for linsolve='pallas'
+    on real pods; interpret-mode kernel on the CPU mesh)."""
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+
+    from legged_gym_dev_tpu.core import make_rom
+    from legged_gym_dev_tpu.solver import ALConfig, PROBLEM_DICT, TrajOptParams
+    from legged_gym_dev_tpu.solver.fast_tube import solve_tube_fast_batched
+
+    prob = PROBLEM_DICT["gap"]
+    N, H_REV, B = 10, 5, 16
+    pm = make_rom("SingleInt2D", prob["dt"], [-10, -10], [10, 10],
+                  [-0.2, -0.2], [0.2, 0.2])
+    p = TrajOptParams.create(
+        pm, N, H_REV, 10 * np.eye(2), 10 * np.eye(2), prob["start"],
+        prob["goal"], prob["obs"]["c"], prob["obs"]["r"], Qw=0.0, w_max=1.0,
+    )
+    pb = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), p)
+    pb = pb.replace(z0=pb.z0 + jnp.linspace(-0.1, 0.1, B)[:, None])
+    cfg = ALConfig(outer_iters=5, inner_iters=5, linsolve="pallas")
+
+    def local_solve(pb_local):
+        out = solve_tube_fast_batched(
+            pb_local, N, H_REV, tube_kind="l1", scaling=0.5, cfg=cfg,
+            warm_start="interpolate", tube_ws=0.0)
+        return out.z, out.sol.viol
+
+    # Every leaf of the scenario pytree shards on its leading (batch) axis.
+    spec = jax.tree.map(lambda _: P("dp"), pb)
+    sharded = jax.jit(shard_map(
+        local_solve, mesh=mesh, in_specs=(spec,),
+        out_specs=(P("dp"), P("dp")), check_rep=False))
+    pb_sharded = shard_batch(pb, mesh, batch_size=B)
+    z_s, viol_s = sharded(pb_sharded)
+
+    cfg_ref = ALConfig(outer_iters=5, inner_iters=5, linsolve="thomas")
+    out_ref = jax.jit(lambda pb: solve_tube_fast_batched(
+        pb, N, H_REV, tube_kind="l1", scaling=0.5, cfg=cfg_ref,
+        warm_start="interpolate", tube_ws=0.0))(pb)
+    np.testing.assert_allclose(np.asarray(z_s), np.asarray(out_ref.z),
+                               atol=2e-3)
+    assert len(z_s.sharding.device_set) == N_DEV
