@@ -250,8 +250,11 @@ def main():
 
     baseline_solves_per_s = 10.0  # serial warm-started IPOPT (see header)
 
-    # Headline: l1 analytic tube at its best batch.
-    l1 = run_mode("l1", int(os.environ.get("BENCH_BATCH", "4096")))
+    # Headline: l1 analytic tube at its best batch — with the Pallas
+    # kernel factor the throughput peak moved from B=4096 (XLA-scan era)
+    # to B=2048: quiet-session sweep 10735/s at 2048 vs 10324 at 1024 and
+    # 9624 at 4096 (docs/PERF.md round 3).
+    l1 = run_mode("l1", int(os.environ.get("BENCH_BATCH", "2048")))
     rec = {
         "metric": "tube_mpc_solves_per_s_per_chip_N50",
         "value": l1["value"],
