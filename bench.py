@@ -8,11 +8,14 @@ tube_planning_closed_loop.py's real-time ambitions; the repo publishes no
 numbers, see BASELINE.md), i.e. ~10 solves/s serial. ``vs_baseline`` is
 measured solves/s/chip divided by that 10/s estimate.
 
-Runs BOTH benchmark modes every time:
-  - l1 analytic tube (headline metric fields), B=4096;
+Runs BOTH benchmark modes every time, plus the closed-loop tick budget:
+  - l1 analytic tube (headline metric fields), B=2048 (the Pallas-factor
+    throughput peak, docs/PERF.md round 3);
   - NN_oneshot learned tube — the reference's flagship mode (ref:
     trajopt/tube_trajopt.py:543-570 via l4casadi) — as ``nn_*`` fields,
-    B=1024 (the NN mode is compute-bound and peaks there, docs/PERF.md).
+    B=1024 (the NN mode is compute-bound and peaks there);
+  - ``tick_budget``: the largest whole-batch closed-loop NN re-solve that
+    fits the 0.1 s ROM tick, with the plan-adoption quality gate.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
