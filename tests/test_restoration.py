@@ -178,3 +178,31 @@ def test_escalation_beats_single_restoration():
     c2 = certify_staged(sp, p, u_bad, viol_bad, lb_u, ub_u, escalate=True)
     assert float(c2.viol_restored) <= float(c1.viol_restored) + 1e-6
     assert int(c2.verdict) != VERDICT_FAILED
+
+
+def test_escalation_nn_tube_restores():
+    """The escalation (incl. the stay-at-start witness, which must
+    evaluate the NN tube at v=0 honestly) also covers the NN_oneshot
+    kind: a wrecked iterate on a feasible NN-tube problem may not end
+    'failed'."""
+    from tests.test_solver import make_tube_nn
+
+    prob = PROBLEM_DICT["gap"]
+    pm = make_rom("SingleInt2D", 0.1, [-10] * 2, [10] * 2,
+                  [-0.2] * 2, [0.2] * 2)
+    p = TrajOptParams.create(
+        pm, N, H_REV, 10 * np.eye(2), 10 * np.eye(2), prob["start"],
+        prob["goal"], prob["obs"]["c"], prob["obs"]["r"],
+        Qw=0.1, w_max=1.0, tube_params=make_tube_nn(),
+    )
+    sp = StagedProblem(n=2, m=2, N=N, K=2, tube_kind="nn", scaling=0.5,
+                       track_ref=False)
+    lb_u, ub_u = staged_bounds(p, 2, 2, N)
+    u_bad = jnp.zeros((N + 1, 5))
+    u_bad = u_bad.at[:, :2].set(jnp.asarray(prob["obs"]["c"][0]))
+    u_bad = u_bad.at[:, 2].set(1.0)
+    u_bad = jnp.clip(u_bad, lb_u, ub_u)
+    cert = certify_staged(sp, p, u_bad, jnp.asarray(1.0), lb_u, ub_u)
+    assert int(cert.verdict) in (VERDICT_RESTORED, VERDICT_INFEASIBLE)
+    if int(cert.verdict) == VERDICT_RESTORED:
+        assert float(cert.viol_restored) < 1e-3
