@@ -22,6 +22,7 @@ from ..sim.rom_sim import RomSim
 from ..sim.urdf import parse_urdf
 from ..trajgen.generator import TrajectoryGenerator
 from ..trajgen.samplers import (
+    SAMPLER_REGISTRY,
     UniformSampleHoldDT,
     UniformWeightSampler,
     UniformWeightSamplerNoRamp,
@@ -70,6 +71,7 @@ def make_hopper_trajectory_env(
     urdf_path: str = HOPPER_URDF,
     reward_scales=HOPPER_REWARD_SCALES,
     curriculum: str | None = None,
+    weight_sampler=None,
 ) -> HopperTrajectoryEnv:
     """Hopper tracking a SingleInt2D ROM (ref hopper_single_int.yaml).
 
@@ -104,8 +106,15 @@ def make_hopper_trajectory_env(
         rom_dt, [-10.0, -10.0], [10.0, 10.0],
         [-vel_max, -vel_max], [vel_max, vel_max],
     )
+    # ``weight_sampler``: None -> the fork's UniformWeightSamplerNoRamp
+    # (ref hopper_single_int.yaml weight_samp_cls), a SAMPLER_REGISTRY name
+    # (e.g. "UniformWeightSamplerTurnBiased"), or a sampler instance.
+    if weight_sampler is None:
+        weight_sampler = UniformWeightSamplerNoRamp()
+    elif isinstance(weight_sampler, str):
+        weight_sampler = SAMPLER_REGISTRY[weight_sampler]()
     gen = TrajectoryGenerator.create(
-        rom, UniformSampleHoldDT.create(2.0, 6.0), UniformWeightSamplerNoRamp(),
+        rom, UniformSampleHoldDT.create(2.0, 6.0), weight_sampler,
         dt_loop=0.02, N=n_traj, dN=1, freq_low=0.01, freq_high=2.0,
         prob_stationary=0.01,
     )

@@ -56,6 +56,24 @@ def load_model_arch(log_dir: str):
     return cls(**arch)
 
 
+def make_curriculum_stage_fn(curriculum, steps_per_iter: int):
+    """Map a learn-iteration index to the env's curriculum stage.
+
+    The env advances ``curriculum_stage`` when its global ``common_step``
+    counter (one per env.step call, i.e. ``steps_per_iter`` per learn
+    iteration — PPOConfig.num_steps) crosses ``curriculum.steps``
+    thresholds (ref legged_robot.py:359-363). This mirrors that mapping on
+    the host so ``OnPolicyRunner.learn(curriculum_stage_fn=...)`` tags
+    ``best{stage}`` checkpoints with the stage the env is actually in
+    (ref utils.py:314-344: best resets per stage)."""
+    thresholds = np.asarray(curriculum.steps, np.int64)
+
+    def fn(it: int) -> int:
+        return int(np.sum((it + 1) * steps_per_iter >= thresholds))
+
+    return fn
+
+
 class CheckpointManager:
     """latest/best-per-stage checkpoint aliases (ref utils.py:314-344)."""
 
@@ -84,6 +102,19 @@ class CheckpointManager:
         self._ckpt.wait_until_finished()
         path = os.path.join(self.log_dir, name)
         return self._ckpt.restore(path, target=template)
+
+    def best_stages(self):
+        """Curriculum stages that have a ``best{stage}`` checkpoint on
+        disk (the candidates for post-training stage selection)."""
+        import re
+
+        self._ckpt.wait_until_finished()
+        out = []
+        for d in os.listdir(self.log_dir):
+            m = re.fullmatch(r"best(\d+)", d)
+            if m and os.path.isdir(os.path.join(self.log_dir, d)):
+                out.append(int(m.group(1)))
+        return sorted(out)
 
     def wait_until_finished(self) -> None:
         """Block until async orbax commits land (else a process exiting

@@ -72,10 +72,29 @@ def UniformWeightSamplerOnlySampleHold() -> UniformWeightSampler:
     return UniformWeightSampler(mask=jnp.asarray([1.0, 0.0, 0.0, 0.0]))
 
 
+def UniformWeightSamplerTurnBiased(
+        sin_weight: float = 3.0) -> UniformWeightSampler:
+    """Sinusoid-heavy mixing weights (no ramp, extreme halved).
+
+    The ``mask`` multiplies the U(0,1) mode draws before simplex
+    normalization, so a mask entry >1 biases the expected weight share
+    toward that mode without ever excluding the others. With the default
+    ``sin_weight=3`` the sinusoid mode carries ~2/3 of the expected mass —
+    sustained-turning segments (circular / weaving ROM paths) dominate the
+    training distribution. Built for the circle-fixture tracking gap the
+    ``UniformWeightSamplerNoRamp`` curriculum leaves (a policy trained on
+    mostly sample-hold segments underweights continuous lateral motion;
+    docs/PERF.md round-3 fixture table, ref
+    evaluate_rl_policy.py:14-174)."""
+    return UniformWeightSampler(
+        mask=jnp.asarray([1.0, 0.0, 0.5, float(sin_weight)]))
+
+
 SAMPLER_REGISTRY = {
     "UniformSampleHoldDT": UniformSampleHoldDT,
     "UniformWeightSampler": UniformWeightSampler,
     "UniformWeightSamplerNoExtreme": UniformWeightSamplerNoExtreme,
     "UniformWeightSamplerNoRamp": UniformWeightSamplerNoRamp,
     "WeightSamplerSampleAndHold": UniformWeightSamplerOnlySampleHold,
+    "UniformWeightSamplerTurnBiased": UniformWeightSamplerTurnBiased,
 }

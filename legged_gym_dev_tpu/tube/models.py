@@ -56,6 +56,13 @@ class MLP:
     biases: tuple           # tuple of (out,) arrays
     activation: str = struct.field(pytree_node=False, default="softplus_b5")
     final_activation: str = struct.field(pytree_node=False, default="none")
+    # Optional scalar output multiplier, applied AFTER the final activation.
+    # Used for split-conformal width calibration (tube.train
+    # ``conformal_width_scale``): the softplus head makes a post-activation
+    # scale unfoldable into the last linear layer, so it rides as its own
+    # (differentiable) leaf. None = 1.0 (and keeps old checkpoints'
+    # pytree structure unchanged).
+    out_scale: jax.Array = None
 
     @classmethod
     def create(cls, key, input_size: int, output_dim: int, num_units: int = 128,
@@ -83,7 +90,10 @@ class MLP:
         for W, b in zip(self.weights[:-1], self.biases[:-1]):
             x = act(x @ W + b)
         x = x @ self.weights[-1] + self.biases[-1]
-        return _ACTIVATIONS[self.final_activation](x)
+        out = _ACTIVATIONS[self.final_activation](x)
+        if self.out_scale is not None:
+            out = out * self.out_scale
+        return out
 
     def value_and_jacobian(self, x: jax.Array):
         """(out, J) with J[..., o, i] = d out_o / d x_i, computed as an
@@ -114,6 +124,9 @@ class MLP:
         if self.final_activation != "none":
             M = M * _ACT_DERIVS[self.final_activation](out_pre)[..., None, :]
         J = jnp.swapaxes(M, -1, -2)
+        if self.out_scale is not None:
+            out = out * self.out_scale
+            J = J * self.out_scale
         return out, J
 
     def value_and_vjp(self, x: jax.Array, ct: jax.Array):
@@ -135,6 +148,9 @@ class MLP:
         out = _ACTIVATIONS[self.final_activation](out_pre)
 
         u = ct
+        if self.out_scale is not None:
+            out = out * self.out_scale
+            u = u * self.out_scale
         if self.final_activation != "none":
             u = u * _ACT_DERIVS[self.final_activation](out_pre)
         u = jnp.einsum("io,...o->...i", self.weights[-1], u)

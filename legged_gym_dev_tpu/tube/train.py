@@ -187,6 +187,40 @@ def train_tube_streaming(
     return TrainResult(model=model, best_model=best_model, history=history)
 
 
+def conformal_width_scale(model: MLP, ds_val, alpha: float = 0.9,
+                          batch: int = 8192, per_step: bool = True,
+                          rng=None) -> float:
+    """Split-conformal tube-width multiplier on held-out data.
+
+    Computes the smallest scalar ``s`` such that the scaled tube
+    ``s * model(x)`` covers the held-out targets at level ``alpha``:
+    the alpha-quantile of the per-sample required scale ``w / fw``.
+    ``per_step=True`` targets the per-step coverage metric the closed-loop
+    evaluation reports (``evaluate_tube_on_mpc_trace``); ``False`` targets
+    whole-window coverage (every step of the horizon covered — strictly
+    more conservative). Distribution-free finite-sample marginal coverage
+    on exchangeable data is the standard split-conformal guarantee; the
+    executed closed-loop trajectories shift distribution, so the flagship
+    reports achieved closed-loop coverage alongside (the gap was the
+    round-3 VERDICT's under-calibration finding: one-step coverage 0.9,
+    executed 0.879).
+
+    Apply with ``model.replace(out_scale=jnp.asarray(s))`` (compounds with
+    an existing out_scale, which ``model(x)`` already includes here).
+    """
+    rng = rng or np.random.default_rng(0)
+    if hasattr(ds_val, "sample_batch"):                 # HorizonTubeDataset
+        xb, yb = ds_val.sample_batch(rng, batch)
+    else:
+        idx = rng.integers(0, len(ds_val), size=min(batch, len(ds_val)))
+        xb, yb = ds_val.data[idx], ds_val.target[idx]
+    fw = np.asarray(model(jnp.asarray(xb)))
+    ratio = np.asarray(yb) / np.maximum(fw, 1e-6)
+    if not per_step:
+        ratio = np.max(ratio, axis=-1)
+    return float(np.quantile(ratio.reshape(-1), alpha, method="higher"))
+
+
 def evaluate_rollout_recursive(model: MLP, w0, z_rest, v, H_rev: int):
     """Recursively roll a one-step tube model along a trajectory
     (ref: evaluation/evaluate_tube_simple.py:55-146 pattern): feed the
