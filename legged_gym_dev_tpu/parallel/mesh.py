@@ -74,3 +74,62 @@ def shard_batch(tree, mesh: Mesh, axis="dp",
 def replicate(tree, mesh: Mesh):
     repl = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, repl), tree)
+
+
+# ---------------------------------------------------------------------------
+# HLO collective introspection (multi-host dryrun / test assertions)
+# ---------------------------------------------------------------------------
+
+def parse_replica_groups(attr: str, n_devices: int):
+    """Parse an HLO ``replica_groups=`` attribute into device-id groups.
+
+    Handles the three textual forms XLA emits: ``{}`` (one group of all
+    devices), explicit ``{{0,1},{2,3}}``, and iota
+    ``[g,s]<=[d0,...]T(p0,...)``.
+    """
+    import re
+
+    attr = attr.strip()
+    if attr in ("{}", "{{}}"):
+        return [list(range(n_devices))]
+    if attr.startswith("{"):
+        groups = []
+        for grp in attr.strip("{}").split("},{"):
+            ids = [int(t) for t in grp.replace("{", "").replace("}", "")
+                   .split(",") if t.strip() != ""]
+            if ids:
+                groups.append(ids)
+        return groups
+    m = re.match(r"\[(\d+),(\d+)\]<=\[([\d,]+)\](?:T\(([\d,]+)\))?", attr)
+    if not m:
+        return []
+    g, s = int(m.group(1)), int(m.group(2))
+    dims = [int(d) for d in m.group(3).split(",")]
+    v = np.arange(int(np.prod(dims))).reshape(dims)
+    if m.group(4):
+        v = v.transpose([int(p) for p in m.group(4).split(",")])
+    return v.reshape(g, s).tolist()
+
+
+def hlo_collective_crosses_hosts(hlo: str, n_devices: int,
+                                 chips_per_host: int) -> bool:
+    """True iff some all-reduce in ``hlo`` has a replica group spanning
+    more than one host (host id = device id // chips_per_host, matching
+    ``make_host_mesh``'s row-major device layout). Stronger than checking
+    the mere presence of an all-reduce: an intra-host reduction's groups
+    stay inside one host's id range and must not satisfy this."""
+    import re
+
+    for m in re.finditer(
+            r"all-reduce[^\n]*?replica_groups=("
+            r"\{\{[^=]*?\}\}|\{\}|\[\d+,\d+\]<=\[[\d,]+\](?:T\([\d,]+\))?)",
+            hlo):
+        for grp in parse_replica_groups(m.group(1), n_devices):
+            if len({d // chips_per_host for d in grp}) > 1:
+                return True
+    return False
+
+
+def tree_bytes(tree) -> int:
+    """Total parameter bytes of a pytree (DCN gradient-traffic budget)."""
+    return int(sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(tree)))

@@ -319,3 +319,103 @@ def test_shard_map_pallas_linsolve(mesh):
     np.testing.assert_allclose(np.asarray(z_s), np.asarray(out_ref.z),
                                atol=2e-3)
     assert len(z_s.sharding.device_set) == N_DEV
+
+
+# ---------------------------------------------------------------------------
+# (dcn, ici) host-mesh training steps (round-4: the collectives that
+# actually cross the host boundary — SURVEY §2.2 DCN row)
+# ---------------------------------------------------------------------------
+
+def test_parse_replica_groups_forms():
+    from legged_gym_dev_tpu.parallel.mesh import parse_replica_groups
+
+    assert parse_replica_groups("{}", 4) == [[0, 1, 2, 3]]
+    assert parse_replica_groups("{{0,1},{2,3}}", 4) == [[0, 1], [2, 3]]
+    # iota form: reshape(arange(8), (2,4)) -> rows are groups.
+    assert parse_replica_groups("[2,4]<=[8]", 8) == [[0, 1, 2, 3],
+                                                     [4, 5, 6, 7]]
+    # transposed iota: reshape(arange(8),(4,2)).T -> [[0,2,4,6],[1,3,5,7]].
+    assert parse_replica_groups("[2,4]<=[4,2]T(1,0)", 8) == [
+        [0, 2, 4, 6], [1, 3, 5, 7]]
+
+
+def test_hlo_cross_host_detector():
+    from legged_gym_dev_tpu.parallel.mesh import hlo_collective_crosses_hosts
+
+    intra = 'x = f32[4] all-reduce(y), replica_groups={{0,1,2,3},{4,5,6,7}}'
+    cross = 'x = f32[4] all-reduce(y), replica_groups={{0,4},{1,5}}'
+    full = 'x = f32[4] all-reduce(y), replica_groups={}'
+    assert not hlo_collective_crosses_hosts(intra, 8, 4)
+    assert hlo_collective_crosses_hosts(cross, 8, 4)
+    assert hlo_collective_crosses_hosts(full, 8, 4)
+
+
+def test_host_mesh_ppo_learn_crosses_dcn(mesh):
+    """PPO learn iteration on the (2, 4) host mesh: gradient all-reduce
+    must span the dcn (host) axis, and the loss must match the 1-axis
+    mesh run (same data layout, different sharding)."""
+    from legged_gym_dev_tpu.envs import task_registry
+    from legged_gym_dev_tpu.parallel.mesh import (
+        hlo_collective_crosses_hosts,
+        make_host_mesh,
+    )
+    from legged_gym_dev_tpu.rl import ActorCritic, PPOConfig
+    from legged_gym_dev_tpu.rl.ppo import init_train_state, make_learn_iteration
+
+    env = task_registry.make_env("rom_tracking", num_envs=4 * N_DEV)
+    ac = ActorCritic(num_actions=2, actor_hidden_dims=(16,),
+                     critic_hidden_dims=(16,))
+    cfg = PPOConfig(num_steps=4, num_mini_batches=2, num_learning_epochs=1)
+    ts = init_train_state(ac, env.num_obs, cfg, jax.random.PRNGKey(2))
+    env_state, _ = env.reset(jax.random.PRNGKey(3))
+    learn = make_learn_iteration(env, ac, cfg)
+
+    mesh2 = make_host_mesh(2, N_DEV // 2)
+    ts_h = replicate(ts, mesh2)
+    st_h = shard_batch(env_state, mesh2, axis=("dcn", "ici"),
+                       batch_size=env.num_envs)
+    ts2, st2, metrics = learn(ts_h, st_h)
+    assert np.isfinite(float(metrics["loss"]))
+    hlo = learn.lower(ts_h, st_h).compile().as_text()
+    assert hlo_collective_crosses_hosts(hlo, N_DEV, N_DEV // 2)
+
+    # Same step on the 1-axis dp mesh gives the same loss (sharding is an
+    # execution detail, not a numerics change).
+    mesh1 = make_mesh(N_DEV)
+    ts_1 = replicate(ts, mesh1)
+    st_1 = shard_batch(env_state, mesh1, batch_size=env.num_envs)
+    _, _, metrics1 = learn(ts_1, st_1)
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(metrics1["loss"]), rtol=1e-4)
+
+
+def test_host_mesh_tube_train_crosses_dcn(mesh):
+    from legged_gym_dev_tpu.parallel.mesh import (
+        hlo_collective_crosses_hosts,
+        make_host_mesh,
+        tree_bytes,
+    )
+    from legged_gym_dev_tpu.tube.models import MLP
+
+    mesh2 = make_host_mesh(2, N_DEV // 2)
+    key = jax.random.PRNGKey(0)
+    mlp = MLP.create(key, 16, 4, num_units=32, num_layers=2)
+    assert tree_bytes(mlp) > 0
+    x = jax.random.normal(key, (64, 16))
+    y = jax.random.normal(key, (64, 4))
+
+    @jax.jit
+    def train_step(model, xb, yb):
+        def loss_fn(m):
+            return jnp.mean((m(xb) - yb) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(model)
+        return jax.tree.map(lambda p_, g: p_ - 1e-3 * g, model, grads), loss
+
+    mlp_h = replicate(mlp, mesh2)
+    dp2 = NamedSharding(mesh2, P(("dcn", "ici")))
+    xh, yh = jax.device_put(x, dp2), jax.device_put(y, dp2)
+    _, loss = train_step(mlp_h, xh, yh)
+    assert np.isfinite(float(loss))
+    hlo = train_step.lower(mlp_h, xh, yh).compile().as_text()
+    assert hlo_collective_crosses_hosts(hlo, N_DEV, N_DEV // 2)
