@@ -167,13 +167,18 @@ def supports_pallas(sim) -> bool:
 
 
 def pallas_substep(sim, state: RobotState, tau: jax.Array,
-                   block: int = 1024, interpret: bool = False) -> RobotState:
+                   block: int = 1024,
+                   interpret: Optional[bool] = None) -> RobotState:
     """One physics substep via the single Pallas kernel.
 
     Numerics match robot_sim.substep exactly (same op order); parity is
     asserted in tests/test_pallas_substep.py and at runtime by the A/B
-    script scripts/profile_quadruped.py.
+    script scripts/profile_quadruped.py. ``interpret=None`` auto-selects
+    interpret mode on CPU (same policy as the production linsolve,
+    solver/staged_scalar._bt_solve_dispatch).
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     model = sim.model
     B = state.base_pos.shape[0]
     nj, nv = model.nj, 6 + model.nj
@@ -242,3 +247,49 @@ def pallas_substep(sim, state: RobotState, tau: jax.Array,
         q=out[7:7 + nj].T,
         v=out[7 + nj:].T,
     )
+
+
+def pallas_substep_sharded(sim, state: RobotState, tau: jax.Array,
+                           mesh, axis, block: int = 1024,
+                           interpret: Optional[bool] = None) -> RobotState:
+    """Pallas substep composed with a device mesh via ``shard_map``.
+
+    A bare ``pallas_call`` under a jit whose operands are sharded over a
+    multi-device mesh does not partition; wrapping it in ``shard_map``
+    runs one kernel instance per device on its local env shard (the same
+    treatment the production linsolve got,
+    tests/test_parallel.py::test_shard_map_pallas_linsolve). All
+    batch-leading operands — the state, the torques, AND the traced
+    per-env DR parameters (base payload mass, contact stiffness/damping/
+    friction, which envs thread through the state pytree per CLAUDE.md)
+    — shard on the ``axis`` mesh axis (a name or tuple of names);
+    everything else replicates.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    B = state.base_pos.shape[0]
+    n_shards = int(np.prod([mesh.shape[a] for a in
+                            ((axis,) if isinstance(axis, str) else axis)]))
+    assert B % n_shards == 0, (
+        f"batch {B} not divisible by mesh extent {n_shards}")
+
+    operands = (state, tau, sim.base_mass_delta, sim.contact)
+
+    def spec_of(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == B:
+            return P(axis)
+        return P()
+
+    in_specs = jax.tree.map(spec_of, operands)
+    out_specs = jax.tree.map(lambda _: P(axis), state)
+    sim_base = sim.replace(base_mass_delta=None, shard_mesh=None)
+
+    def local(st, tau_l, bmd, contact):
+        sim_l = sim_base.replace(base_mass_delta=bmd, contact=contact)
+        return pallas_substep(sim_l, st, tau_l,
+                              block=min(block, B // n_shards),
+                              interpret=interpret)
+
+    return shard_map(local, mesh=mesh, in_specs=in_specs,
+                     out_specs=out_specs, check_rep=False)(*operands)

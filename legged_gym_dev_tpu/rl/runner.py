@@ -131,6 +131,19 @@ class OnPolicyRunner:
                  seed: int = 0,
                  metrics_callback: Optional[Callable[[Dict], None]] = None,
                  mesh=None):
+        if mesh is not None:
+            # Multi-chip: a bare pallas_call does not partition under a
+            # sharded jit, so hand the mesh to the sim — its substep then
+            # wraps the Pallas physics kernel in shard_map over the env
+            # axis (docs/PERF.md "Pallas physics substep"). Must happen
+            # BEFORE the learn closures capture env.
+            from ..sim.robot_sim import RobotSim
+
+            sim = getattr(env, "sim", None)
+            if isinstance(sim, RobotSim):
+                axis = tuple(mesh.axis_names)
+                axis = axis[0] if len(axis) == 1 else axis
+                env = env.replace(sim=sim.replace(shard_mesh=(mesh, axis)))
         self.env = env
         self.cfg = cfg
         self.model = model or ActorCritic(num_actions=env.num_actions)

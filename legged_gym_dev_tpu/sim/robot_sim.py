@@ -61,19 +61,31 @@ class RobotSim:
     joint_limit_damping: float = struct.field(pytree_node=False, default=10.0)
     # Route substeps through the single-kernel Pallas physics step
     # (ops/pallas_substep.py) — measured 1.2x (hopper) / 1.7x (ANYmal-C)
-    # vs the XLA scalar-graph path at B=4096 on chip (docs/PERF.md). Only
-    # honored when ``supports_pallas(self)`` holds (flat terrain, static
-    # spring params); enable via ``sim.replace(use_pallas_substep=True)``
-    # or the LGDT_PALLAS_SUBSTEP=1 env var read by the env presets.
-    use_pallas_substep: bool = struct.field(pytree_node=False, default=False)
+    # vs the XLA scalar-graph path at B=4096 on chip (docs/PERF.md).
+    # Tri-state: None = auto (DEFAULT-ON on TPU backends whenever
+    # ``supports_pallas(self)`` holds — flat terrain, static spring params
+    # — and the batch divides the block size; always off on CPU, where
+    # interpret mode would be pathologically slow), True/False force.
+    # Env var LGDT_PALLAS_SUBSTEP=1/0 forces from the environment.
+    use_pallas_substep: Optional[bool] = struct.field(pytree_node=False,
+                                                      default=None)
+    # Optional ``(mesh, axis)`` for multi-chip training: a bare
+    # pallas_call does not partition under a sharded jit, so when set the
+    # substep wraps the kernel in shard_map over the batch axis (one
+    # kernel instance per device on its local env shard — the linsolve's
+    # treatment, docs/PERF.md). ``OnPolicyRunner(mesh=...)`` sets this
+    # automatically.
+    shard_mesh: Optional[tuple] = struct.field(pytree_node=False,
+                                               default=None)
 
     @classmethod
     def create(cls, model, contact=None, springs=None, dt=0.005, decimation=4,
                terrain_fn=flat_terrain, **kw):
         import os
 
-        kw.setdefault("use_pallas_substep",
-                      os.environ.get("LGDT_PALLAS_SUBSTEP", "0") == "1")
+        env_flag = os.environ.get("LGDT_PALLAS_SUBSTEP", "")
+        if env_flag in ("0", "1"):
+            kw.setdefault("use_pallas_substep", env_flag == "1")
         return cls(
             model=model,
             contact=contact or ContactParams.create(),
@@ -115,10 +127,22 @@ class RobotSim:
 
     def substep(self, state: RobotState, tau: jax.Array) -> RobotState:
         """One physics step at self.dt with applied joint torques tau."""
-        if self.use_pallas_substep:
-            from ..ops.pallas_substep import pallas_substep, supports_pallas
+        use_pallas = self.use_pallas_substep
+        if use_pallas is None:                      # auto: on for real TPUs
+            use_pallas = jax.default_backend() != "cpu"
+        if use_pallas:
+            from ..ops.pallas_substep import (
+                pallas_substep,
+                pallas_substep_sharded,
+                supports_pallas,
+            )
 
-            if supports_pallas(self):
+            B = state.base_pos.shape[0]
+            if supports_pallas(self) and B % min(1024, B) == 0:
+                if self.shard_mesh is not None:
+                    mesh, axis = self.shard_mesh
+                    return pallas_substep_sharded(self, state, tau, mesh,
+                                                  axis, block=1024)
                 return pallas_substep(self, state, tau, block=1024)
         tau = jnp.clip(tau, -self.model.effort_limit, self.model.effort_limit)
         tau = tau + self._passive_tau(state)
