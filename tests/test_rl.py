@@ -127,3 +127,52 @@ def test_task_registry():
     assert env.num_envs == 8
     with pytest.raises(ValueError):
         reg.make_env("nope")
+
+
+def test_best_stage_reset_semantics(tmp_path):
+    """CheckpointManager best{stage} aliases: best resets when the
+    curriculum stage changes (ref deep_tube_learning/utils.py:314-344)."""
+    from legged_gym_dev_tpu.rl.runner import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path))
+    p1 = {"w": jnp.asarray([1.0])}
+    p2 = {"w": jnp.asarray([2.0])}
+    p3 = {"w": jnp.asarray([3.0])}
+    p4 = {"w": jnp.asarray([4.0])}
+    mgr.save(p1, it=0, metric=5.0, stage=0)
+    mgr.save(p2, it=1, metric=3.0, stage=0)    # worse: best0 keeps p1
+    # Stage change: best RESETS — a much worse metric must still win.
+    mgr.save(p3, it=2, metric=-10.0, stage=1)
+    mgr.save(p4, it=3, metric=-20.0, stage=1)  # worse: best1 keeps p3
+    mgr.wait_until_finished()
+    assert mgr.best_stages() == [0, 1]
+    tmpl = {"w": jnp.zeros(1)}
+    np.testing.assert_allclose(np.asarray(mgr.load("best0", tmpl)["w"]), [1.0])
+    np.testing.assert_allclose(np.asarray(mgr.load("best1", tmpl)["w"]), [3.0])
+
+
+def test_best_stage_end_to_end(tmp_path):
+    """Runner end-to-end: a curriculum_stage_fn produces per-stage best
+    checkpoints that load back (the flagship's selection candidates)."""
+    from legged_gym_dev_tpu.rl.runner import make_curriculum_stage_fn
+
+    env = make_env(16)
+    runner = OnPolicyRunner(env, cfg=PPOConfig(), log_dir=str(tmp_path),
+                            seed=0)
+    runner.learn(6, save_interval=1,
+                 curriculum_stage_fn=lambda it: 0 if it < 3 else 1)
+    assert runner.ckpt.best_stages() == [0, 1]
+    for name in ("best0", "best1", "latest"):
+        runner.load(name)
+        policy = runner.get_inference_policy()
+        assert policy(jnp.zeros((2, env.num_obs))).shape == (2, 2)
+
+    # The env<->host stage mapping: thresholds in common_step units,
+    # num_steps env steps per learn iteration (ref legged_robot.py:359-363).
+    class Cur:
+        steps = (24, 48)
+
+    fn = make_curriculum_stage_fn(Cur(), steps_per_iter=24)
+    assert [fn(i) for i in range(4)] == [1, 2, 2, 2]
+    fn2 = make_curriculum_stage_fn(Cur(), steps_per_iter=8)
+    assert [fn2(i) for i in range(8)] == [0, 0, 1, 1, 1, 2, 2, 2]
