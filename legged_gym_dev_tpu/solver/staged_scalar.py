@@ -753,6 +753,59 @@ def _pallas_bt_solve(Dm, Lm, rhs, b, S):
     return list(_bt_solve_dispatch(D_lo, L_flat, rhs_t))
 
 
+@custom_vmap
+def _bt_msolve_dispatch(D_lo, L_flat, rhs):
+    """Multi-RHS variant of ``_bt_solve_dispatch``: rhs entries are (S, R)
+    column blocks (the NN-tube Woodbury basis / exact-path solves).
+    Unbatched base: the entry-scan handles trailing-RHS broadcasting."""
+    b = len(rhs)
+    D_e, _ = _unflatten_lower_full(D_lo, b)
+    L_e = [list(L_flat[i * b:(i + 1) * b]) for i in range(b)]
+    return tuple(factor_solve_entries(D_e, L_e, list(rhs), b))
+
+
+@_bt_msolve_dispatch.def_vmap
+def _bt_msolve_dispatch_vmap(axis_size, in_batched, D_lo, L_flat, rhs):
+    from ..ops.pallas_block_tridiag import (
+        block_tridiag_multirhs_pallas_entries,
+    )
+
+    b = len(rhs)
+    B = axis_size
+
+    def bc(x, batched):
+        return x if batched else jnp.broadcast_to(x, (B,) + x.shape)
+
+    D_lo = tuple(bc(x, f) for x, f in zip(D_lo, in_batched[0]))
+    L_flat = tuple(bc(x, f) for x, f in zip(L_flat, in_batched[1]))
+    rhs = tuple(bc(x, f) for x, f in zip(rhs, in_batched[2]))
+
+    _, D_full = _unflatten_lower_full(D_lo, b)
+    L_full = [list(L_flat[i * b:(i + 1) * b]) for i in range(b)]
+    interpret = jax.default_backend() == "cpu"
+    x = block_tridiag_multirhs_pallas_entries(
+        D_full, L_full, list(rhs), b, rhs_chunk=4, tile_b=1024,
+        interpret=interpret)
+    return tuple(x), tuple(True for _ in range(b))
+
+
+def _pallas_bt_msolve(Dm, Lm, rhs_cols, b, S, R):
+    """Multi-RHS banded solve through the kernel dispatch; ``rhs_cols``
+    entries are (S, R) or symbolic zero."""
+    D_lo = tuple(
+        jnp.broadcast_to(jnp.asarray(Dm[i][j], jnp.float32), (S,))
+        if not _is0(Dm[i][j]) else jnp.zeros((S,))
+        for i in range(b) for j in range(i + 1))
+    L_flat = tuple(
+        jnp.broadcast_to(jnp.asarray(Lm[i][j], jnp.float32), (S - 1,))
+        if not _is0(Lm[i][j]) else jnp.zeros((S - 1,))
+        for i in range(b) for j in range(b))
+    rhs_t = tuple(
+        jnp.broadcast_to(jnp.asarray(r, jnp.float32), (S, R))
+        if not _is0(r) else jnp.zeros((S, R)) for r in rhs_cols)
+    return list(_bt_msolve_dispatch(D_lo, L_flat, rhs_t))
+
+
 # ---------------------------------------------------------------------------
 # entry-form block cyclic reduction (scan-free factor+solve)
 # ---------------------------------------------------------------------------
@@ -1039,7 +1092,15 @@ def _solve_staged_scalar_impl(sp, p, u0, lb_u, ub_u, cfg, lam0, mu0,
               for i in range(b)]
         rhs_m = [jnp.zeros((S, N)) if _is0(Um[i]) else Um[i]
                  for i in range(b)]
-        Ru = factor_solve_entries(Dm, Lm, rhs_m, b)
+        if cfg.linsolve == "pallas":
+            # Factor-once + VMEM-chunked column substitution (round 4):
+            # the XLA multi-RHS entry-scan was ~47% of the chunk3 NN solve
+            # together with the capacitance products (docs/PERF.md
+            # attribution); the kernel keeps each column chunk's whole
+            # recursion VMEM-resident.
+            Ru = _pallas_bt_msolve(Dm, Lm, rhs_m, b, S, N)
+        else:
+            Ru = factor_solve_entries(Dm, Lm, rhs_m, b)
         C = jnp.eye(N)
         for i in range(b):
             if _is0(Um[i]):
@@ -1099,7 +1160,10 @@ def _solve_staged_scalar_impl(sp, p, u0, lb_u, ub_u, cfg, lam0, mu0,
                 [gf[i][:, None],
                  jnp.zeros((S, N)) if _is0(Um[i]) else Um[i]], axis=1)
                 for i in range(b)]
-            sol_m = factor_solve_entries(Dm, Lm, rhs_m, b)
+            if cfg.linsolve == "pallas":
+                sol_m = _pallas_bt_msolve(Dm, Lm, rhs_m, b, S, N + 1)
+            else:
+                sol_m = factor_solve_entries(Dm, Lm, rhs_m, b)
             Rg = [s[:, 0] for s in sol_m]
             Ru = [s[:, 1:] for s in sol_m]
             C = jnp.eye(N)
