@@ -73,3 +73,31 @@ def compute_total_reward(active_terms, env, state, only_positive=False,
         total = total + r
         episode["termination"] = r
     return total, episode
+
+
+def guard_finite_state(robot, safe_state):
+    """Detect and neutralize envs whose physics state went non-finite.
+
+    With the explicit integrator a contact blow-up can overflow to inf
+    WITHIN one decimated control step — before env-level termination can
+    reset the env — and a single inf-inf NaN then poisons the whole PPO
+    batch through rewards/observations (observed: anymal_c_trajectory
+    training went all-NaN abruptly at iteration ~1759, round 4). The sim's
+    base_vel_limit cap prevents the overflow in the first place (ref
+    Isaac Gym max_linear/angular_velocity, legged_robot_config.py:121-122);
+    this guard is the env-level backstop: non-finite envs are replaced by
+    ``safe_state`` values and reported so the caller force-terminates them
+    (termination penalty + reset, the same path as an illegal contact).
+
+    Returns ``(sanitized_robot, bad_mask)``.
+    """
+    bad = ~(jnp.isfinite(robot.base_pos).all(-1)
+            & jnp.isfinite(robot.base_quat).all(-1)
+            & jnp.isfinite(robot.q).all(-1)
+            & jnp.isfinite(robot.v).all(-1))
+
+    def fix(x, s):
+        m = bad.reshape((-1,) + (1,) * (x.ndim - 1))
+        return jnp.where(m, s, x)
+
+    return jax.tree.map(fix, robot, safe_state), bad

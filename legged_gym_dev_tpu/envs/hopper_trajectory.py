@@ -49,7 +49,7 @@ from ..sim.contact import contact_forces
 from ..sim.dynamics import RobotState, contact_kinematics
 from ..sim.robot_sim import RobotSim
 from ..trajgen.generator import TrajectoryGenerator, TrajGenState
-from .base import Transition
+from .base import Transition, guard_finite_state
 
 
 from ..core.maths import masked_update as _mwhere  # noqa: E402
@@ -308,7 +308,8 @@ class HopperTrajectoryEnv:
             key = jax.random.fold_in(state.key, 3)
             obs = obs + (2.0 * jax.random.uniform(key, obs.shape) - 1.0) \
                 * self.noise_vec[None, :]
-        return obs
+        # ref legged_robot.py:100 clip_observations=100.
+        return jnp.clip(obs, -100.0, 100.0)
 
     # ---- resets (ref hopper.py:292-330) --------------------------------
     def _reset_robot(self, state: HopperEnvState, mask: jax.Array,
@@ -577,6 +578,9 @@ class HopperTrajectoryEnv:
         robot, torques = sim.step_with_carry(
             state.robot, jnp.zeros((self.num_envs, 4)), ctrl
         )
+        # Non-finite backstop (base.guard_finite_state).
+        robot, nonfinite = guard_finite_state(
+            robot, self.sim.default_state(self.num_envs))
 
         # Trajectory generator tick at the policy rate (curriculum-scaled).
         tgen = self._traj_gen_cur(state)
@@ -591,7 +595,7 @@ class HopperTrajectoryEnv:
         term_idx = jnp.asarray(self.termination_spheres)
         term_contact = jnp.any(
             jnp.linalg.norm(f[:, term_idx, :], axis=-1) > 1.0, axis=-1
-        )
+        ) | nonfinite
         episode_step = state.episode_step + 1
         time_out = episode_step >= self.max_episode_length
         done = term_contact | time_out

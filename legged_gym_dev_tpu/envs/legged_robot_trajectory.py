@@ -41,7 +41,7 @@ from flax import struct
 from ..core.maths import masked_update as _mwhere
 from ..core.maths import quat_to_rotmat
 from ..trajgen.generator import TrajectoryGenerator, TrajGenState
-from .base import Transition
+from .base import Transition, guard_finite_state
 from .legged_robot_velocity import LeggedRobotVelocityEnv, VelocityEnvState
 
 
@@ -113,7 +113,8 @@ class LeggedRobotTrajectoryEnv(LeggedRobotVelocityEnv):
             key = jax.random.fold_in(state.key, 7)
             obs = obs + (2.0 * jax.random.uniform(key, obs.shape) - 1.0) \
                 * self.noise_vec[None, :]
-        return obs
+        # ref legged_robot.py:100 clip_observations=100.
+        return jnp.clip(obs, -100.0, 100.0)
 
     # ---- resets ----------------------------------------------------------
     def reset(self, key: jax.Array) -> Tuple[TrajectoryEnvState, jax.Array]:
@@ -282,6 +283,11 @@ class LeggedRobotTrajectoryEnv(LeggedRobotVelocityEnv):
             )
             state = state.replace(torques=torques)
 
+        # Non-finite backstop (base.guard_finite_state): sanitize +
+        # force-terminate exploded envs before reward/obs math.
+        robot, nonfinite = guard_finite_state(
+            robot, self.sim.default_state(B))
+
         # Trajectory-generator tick at the policy rate (ref :405-417).
         tgen = self._traj_gen_cur(state)
         tg = tgen.step(state.traj_gen)
@@ -299,10 +305,10 @@ class LeggedRobotTrajectoryEnv(LeggedRobotVelocityEnv):
         air_time = state.feet_air_time + self.dt
 
         term_idx = jnp.asarray(self.termination_spheres, jnp.int32)
-        term_contact = jnp.any(
+        term_contact = (jnp.any(
             jnp.linalg.norm(f_contact[:, term_idx, :], axis=-1) > 1.0,
             axis=-1,
-        ) if self.termination_spheres else jnp.zeros((B,), bool)
+        ) if self.termination_spheres else jnp.zeros((B,), bool)) | nonfinite
         episode_step = state.episode_step + 1
         time_out = episode_step >= self.max_episode_length
         done = term_contact | time_out

@@ -25,7 +25,7 @@ from ..sim.actuator_net import ActuatorNetLSTM
 from ..sim.contact import contact_forces, flat_terrain
 from ..sim.dynamics import RobotState, contact_kinematics
 from ..sim.robot_sim import RobotSim
-from .base import Transition
+from .base import Transition, guard_finite_state
 
 
 from ..core.maths import masked_update as _mwhere  # noqa: E402
@@ -222,7 +222,8 @@ class LeggedRobotVelocityEnv:
             key = jax.random.fold_in(state.key, 7)
             obs = obs + (2.0 * jax.random.uniform(key, obs.shape) - 1.0) \
                 * self.noise_vec[None, :]
-        return obs
+        # ref legged_robot.py:100 clip_observations=100.
+        return jnp.clip(obs, -100.0, 100.0)
 
     # ---- commands (ref legged_robot.py:336-388) ------------------------
     def _resample_commands(self, state: VelocityEnvState, mask, key):
@@ -590,6 +591,11 @@ class LeggedRobotVelocityEnv:
             )
             state = state.replace(torques=torques)
 
+        # Non-finite backstop: sanitize + force-terminate exploded envs
+        # before any reward/obs math sees them (base.guard_finite_state).
+        robot, nonfinite = guard_finite_state(
+            robot, self.sim.default_state(B))
+
         f_contact = self._contact_forces(robot, self._dr_sim(state))
         feet = jnp.asarray(self.feet_spheres, jnp.int32)
         contact = f_contact[:, feet, 2] > 1.0
@@ -598,10 +604,10 @@ class LeggedRobotVelocityEnv:
         air_time = state.feet_air_time + self.dt
 
         term_idx = jnp.asarray(self.termination_spheres, jnp.int32)
-        term_contact = jnp.any(
+        term_contact = (jnp.any(
             jnp.linalg.norm(f_contact[:, term_idx, :], axis=-1) > 1.0,
             axis=-1,
-        ) if self.termination_spheres else jnp.zeros((B,), bool)
+        ) if self.termination_spheres else jnp.zeros((B,), bool)) | nonfinite
         episode_step = state.episode_step + 1
         time_out = episode_step >= self.max_episode_length
         done = term_contact | time_out

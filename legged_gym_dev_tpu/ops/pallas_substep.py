@@ -71,7 +71,7 @@ def _substep_rows(model, xs, dr_rows, *, nc_dr: bool, has_bmd: bool,
     slip = next(di)
 
     (spring_k, spring_d, spring_set) = springs_np
-    (eff, vel_lim, q_lo, q_hi, jl_k, jl_d) = limits_np
+    (eff, vel_lim, q_lo, q_hi, jl_k, jl_d, base_vl) = limits_np
 
     # --- torques: effort clip + passive springs + soft joint limits
     # (mirrors robot_sim.substep/_passive_tau exactly) -----------------------
@@ -138,6 +138,8 @@ def _substep_rows(model, xs, dr_rows, *, nc_dr: bool, has_bmd: bool,
     q_new = [q[j] + dt * v_new[6 + j] for j in range(nj)]
     for j in range(nj):
         v_new[6 + j] = jnp.clip(v_new[6 + j], -vel_lim[j], vel_lim[j])
+    for k in range(6):   # base cap (robot_sim.base_vel_limit, PhysX parity)
+        v_new[k] = jnp.clip(v_new[k], -base_vl, base_vl)
     return pos_new + quat_new + q_new + v_new
 
 
@@ -196,6 +198,7 @@ def pallas_substep(sim, state: RobotState, tau: jax.Array,
         np.asarray(model.q_lower, np.float64),
         np.asarray(model.q_upper, np.float64),
         float(sim.joint_limit_stiffness), float(sim.joint_limit_damping),
+        float(sim.base_vel_limit),
     )
 
     # --- value rows ----------------------------------------------------------

@@ -59,6 +59,14 @@ class RobotSim:
     joint_limit_stiffness: float = struct.field(pytree_node=False,
                                                 default=1000.0)
     joint_limit_damping: float = struct.field(pytree_node=False, default=10.0)
+    # Base linear/angular velocity cap (ref legged_robot_config.py:121-122:
+    # Isaac Gym asset options max_linear_velocity/max_angular_velocity =
+    # 1000). Load-bearing for stability: with the explicit integrator a
+    # contact blow-up can overflow to inf within one decimated step —
+    # before the env-level termination can reset the env — and inf-inf
+    # NaNs then poison the whole PPO batch (observed: anymal_c_trajectory
+    # training NaN'd abruptly at iter ~1759, docs/PERF.md round 4).
+    base_vel_limit: float = struct.field(pytree_node=False, default=1000.0)
     # Route substeps through the single-kernel Pallas physics step
     # (ops/pallas_substep.py) — measured 1.2x (hopper) / 1.7x (ANYmal-C)
     # vs the XLA scalar-graph path at B=4096 on chip (docs/PERF.md).
@@ -159,10 +167,14 @@ class RobotSim:
         new = integrate(self.model, state, qdd, self.dt)
         # Joint velocity caps enforced by clamping (PhysX enforces URDF
         # velocity limits at the solver level; a penalty force here would be
-        # explicit and unstable for gram-scale link inertias).
+        # explicit and unstable for gram-scale link inertias). Base rows
+        # capped at base_vel_limit (PhysX max_linear/angular_velocity).
         qd = jnp.clip(new.v[..., 6:], -self.model.vel_limit,
                       self.model.vel_limit)
-        return new.replace(v=new.v.at[..., 6:].set(qd))
+        base_v = jnp.clip(new.v[..., :6], -self.base_vel_limit,
+                          self.base_vel_limit)
+        return new.replace(
+            v=new.v.at[..., 6:].set(qd).at[..., :6].set(base_v))
 
     def step(self, state: RobotState,
              torque_fn: Callable[[RobotState], jax.Array]) -> RobotState:

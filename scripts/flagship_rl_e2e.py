@@ -274,9 +274,26 @@ def main():
     from legged_gym_dev_tpu.solver.fast_tube import closed_loop_tube_mpc_fast
 
     prob = PROBLEM_DICT[PROBLEM]
+    # The planning ROM's input bound comes from the DATA-COLLECTION env's
+    # ROM, not the problem preset: the tube net was trained on inputs
+    # |v| <= v_max_data, and querying it at the preset's (possibly much
+    # larger) vel_max asks for out-of-distribution widths (the anymal's
+    # first run planned at 1.0 m/s on a 0.35 m/s-data tube — trace
+    # coverage collapsed to 0.34). The closed-loop surrogate plant's
+    # authority scales the same way so its tracking roughness matches the
+    # robot the tube was trained for (hopper: 1.5x/2.5x reproduce the
+    # round-3 surrogate exactly: vel 0.3, accel 0.5 at v_max_data=0.2).
+    v_max_data = float(np.asarray(col_env.rom.v_max).max())
+    vel_scale = float(os.environ.get("ROBOT_VEL_SCALE", "1.5"))
+    acc_scale = float(os.environ.get("ROBOT_ACC_SCALE", "2.5"))
+    v_plan = min(float(prob["vel_max"]), v_max_data)
+    report["mpc_env"] = {
+        "v_max_data": round(v_max_data, 4), "v_plan": round(v_plan, 4),
+        "robot_vel": round(vel_scale * v_max_data, 4),
+        "robot_acc": round(acc_scale * v_max_data, 4),
+    }
     pm = make_rom("SingleInt2D", prob["dt"], [-prob["pos_max"]] * 2,
-                  [prob["pos_max"]] * 2, [-prob["vel_max"]] * 2,
-                  [prob["vel_max"]] * 2)
+                  [prob["pos_max"]] * 2, [-v_plan] * 2, [v_plan] * 2)
 
     def build_batch(tube_model):
         p = TrajOptParams.create(
@@ -295,9 +312,11 @@ def main():
                                          jnp.float32),
         )
 
+    rv = vel_scale * v_max_data
+    ra = acc_scale * v_max_data
     robot = DoubleInt2D.create(
-        prob["dt"], [-np.inf, -np.inf, -0.3, -0.3],
-        [np.inf, np.inf, 0.3, 0.3], [-0.5, -0.5], [0.5, 0.5],
+        prob["dt"], [-np.inf, -np.inf, -rv, -rv],
+        [np.inf, np.inf, rv, rv], [-ra, -ra], [ra, ra],
     )
     run = jax.jit(jax.vmap(lambda pp: closed_loop_tube_mpc_fast(
         pp, robot, tube_kind="NN_oneshot", scaling=0.5, H=H, N=N,
