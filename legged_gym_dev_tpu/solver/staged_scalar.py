@@ -691,6 +691,15 @@ def factor_solve_entries(D_e, L_e, rhs_e, b, unroll=2):
 
 from jax.custom_batching import custom_vmap
 
+# Escape hatch for same-session A/B of the round-4 multi-RHS kernel path
+# (scripts/bench_nn_tube.py): LGDT_PALLAS_MULTIRHS=0 keeps linsolve="pallas"
+# for the single-RHS factor but routes the Woodbury multi-RHS solves
+# through the XLA entry-scan (the round-3 behavior).
+import os as _os
+
+_PALLAS_MULTIRHS = _os.environ.get("LGDT_PALLAS_MULTIRHS", "1") == "1"
+
+
 
 def _unflatten_lower_full(flat, b):
     """b*(b+1)/2 lower entries -> (lower-list, full-symmetric-list)."""
@@ -1092,7 +1101,7 @@ def _solve_staged_scalar_impl(sp, p, u0, lb_u, ub_u, cfg, lam0, mu0,
               for i in range(b)]
         rhs_m = [jnp.zeros((S, N)) if _is0(Um[i]) else Um[i]
                  for i in range(b)]
-        if cfg.linsolve == "pallas":
+        if cfg.linsolve == "pallas" and _PALLAS_MULTIRHS:
             # Factor-once + VMEM-chunked column substitution (round 4):
             # the XLA multi-RHS entry-scan was ~47% of the chunk3 NN solve
             # together with the capacitance products (docs/PERF.md
@@ -1160,7 +1169,7 @@ def _solve_staged_scalar_impl(sp, p, u0, lb_u, ub_u, cfg, lam0, mu0,
                 [gf[i][:, None],
                  jnp.zeros((S, N)) if _is0(Um[i]) else Um[i]], axis=1)
                 for i in range(b)]
-            if cfg.linsolve == "pallas":
+            if cfg.linsolve == "pallas" and _PALLAS_MULTIRHS:
                 sol_m = _pallas_bt_msolve(Dm, Lm, rhs_m, b, S, N + 1)
             else:
                 sol_m = factor_solve_entries(Dm, Lm, rhs_m, b)
