@@ -239,6 +239,9 @@ A1_REWARD_SCALES = (
 
 def make_velocity_env(urdf_path: str, num_envs: int = 4096,
                       default_angles: dict = A1_DEFAULT_ANGLES,
+    sim_dt: float = 0.005,
+    sim_decimation: int = 4,
+    contact=None,
                       p_gain: float = 20.0, d_gain: float = 0.5,
                       action_scale: float = 0.25,
                       base_height: float = 0.42,
@@ -289,8 +292,9 @@ def make_velocity_env(urdf_path: str, num_envs: int = 4096,
         ]
     sim = RobotSim.create(
         model,
-        contact=ContactParams.create(stiffness=5000.0, damping=50.0),
-        dt=0.005, decimation=4,
+        contact=contact or ContactParams.create(stiffness=5000.0,
+                                                damping=50.0),
+        dt=sim_dt, decimation=sim_decimation,
         **({"terrain_fn": terrain_fn} if terrain_fn else {}),
     )
     default_dof = jnp.asarray(
@@ -648,8 +652,29 @@ def make_adam_env(**kw):
     return make_velocity_env(urdf, **kw)
 
 
+# ref cassie_config.py init_state.default_joint_angles (the crouched
+# standing pose; an all-zero straight-legged pose is kinematically
+# singular and collapses immediately — the round-4 cassie sanity run's
+# reward explosion traced to it).
+CASSIE_DEFAULT_ANGLES = {
+    "hip_abduction_left": 0.1, "hip_rotation_left": 0.0,
+    "hip_flexion_left": 1.0, "thigh_joint_left": -1.8,
+    "ankle_joint_left": 1.57, "toe_joint_left": -1.57,
+    "hip_abduction_right": -0.1, "hip_rotation_right": 0.0,
+    "hip_flexion_right": 1.0, "thigh_joint_right": -1.8,
+    "ankle_joint_right": 1.57, "toe_joint_right": -1.57,
+}
+
+
 def make_cassie_env(**kw):
-    kw.setdefault("default_angles", {})
+    kw.setdefault("default_angles", CASSIE_DEFAULT_ANGLES)
+    # ~32 kg biped on the explicit integrator: the hopper treatment
+    # (2.5 ms substeps at the unchanged 50 Hz policy rate) + contact
+    # stiff enough for ~1.5 cm static penetration.
+    kw.setdefault("sim_dt", 0.0025)
+    kw.setdefault("sim_decimation", 8)
+    kw.setdefault("contact", ContactParams.create(stiffness=20000.0,
+                                                  damping=100.0))
     kw.setdefault("p_gain", 100.0)
     kw.setdefault("d_gain", 3.0)
     kw.setdefault("base_height", 1.0)
