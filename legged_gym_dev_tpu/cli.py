@@ -19,6 +19,7 @@ import argparse
 import json
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -204,12 +205,30 @@ def cmd_play(args):
                 os.path.join(args.export, "policy.onnx"))
             print(f"exported ONNX: {p4}")
 
+    viewer = None
+    if getattr(args, "live", None) is not None:
+        # Interactive browser viewer (the reference's Isaac Gym viewer
+        # role, ref base_task.py:86-148 / play.py:96-110): frames over
+        # HTTP, keyboard commands back (ESC quit, V sync, SPACE pause,
+        # arrows/+-/F camera).
+        from .utils.live_viewer import LiveViewer
+
+        if not hasattr(env, "sim") or not hasattr(env.sim, "model"):
+            raise SystemExit(f"{args.task} has no rigid-body state to view")
+        viewer = LiveViewer(env.sim.model, port=args.live)
+
     logger = Logger(dt=env.dt)
     state, obs = env.reset(jax.random.PRNGKey(0))
     step = jax.jit(env.step)
     probe = jax.jit(lambda s, t: _play_signals(env, s, t))
     trace = []  # (base_pos, base_quat, q) of env 0 — reused for --video
-    for i in range(args.steps):
+    i = 0
+    while i < args.steps:
+        if viewer is not None and viewer.paused:
+            time.sleep(0.05)
+            if any(ev == "quit" for ev in viewer.pop_events()):
+                break
+            continue
         state, tr = step(state, policy(obs))
         obs = tr.obs
         sig = jax.tree.map(np.asarray, probe(state, tr))
@@ -219,6 +238,14 @@ def cmd_play(args):
             trace.append((np.asarray(r.base_pos[0]),
                           np.asarray(r.base_quat[0]),
                           np.asarray(r.q[0])))
+            if viewer is not None:
+                viewer.push_state(r.base_pos, r.base_quat, r.q)
+        if viewer is not None and any(
+                ev == "quit" for ev in viewer.pop_events()):
+            break
+        i += 1
+    if viewer is not None:
+        viewer.close()
     if args.plot:
         logger.plot_states(args.plot)
         print(f"dashboard saved: {args.plot}")
@@ -727,6 +754,11 @@ def build_parser():
     pl.add_argument("--video", default="",
                     help="render the rollout to .mp4/.gif via "
                     "mujoco.Renderer (ref play.py:88-110 frame capture)")
+    pl.add_argument("--live", type=int, nargs="?", const=0, default=None,
+                    metavar="PORT",
+                    help="serve an interactive live viewer over HTTP "
+                         "(0/omitted port = auto; browser keys: ESC quit, "
+                         "V sync, SPACE pause, arrows/+-/F camera)")
     pl.add_argument("--video-steps", type=int, default=0,
                     help="frames to record (default: min(steps, 250))")
     pl.set_defaults(fn=cmd_play)
