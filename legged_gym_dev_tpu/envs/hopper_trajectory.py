@@ -581,6 +581,7 @@ class HopperTrajectoryEnv:
         # Non-finite backstop (base.guard_finite_state).
         robot, nonfinite = guard_finite_state(
             robot, self.sim.default_state(self.num_envs))
+        torques = jnp.where(nonfinite[:, None], 0.0, torques)
 
         # Trajectory generator tick at the policy rate (curriculum-scaled).
         tgen = self._traj_gen_cur(state)

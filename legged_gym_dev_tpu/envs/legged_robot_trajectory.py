@@ -287,6 +287,17 @@ class LeggedRobotTrajectoryEnv(LeggedRobotVelocityEnv):
         # force-terminate exploded envs before reward/obs math.
         robot, nonfinite = guard_finite_state(
             robot, self.sim.default_state(B))
+        # The physics also produced this step's torques (and SEA state)
+        # BEFORE the guard could see the blow-up — scrub them too, else
+        # NaN reaches the torque/energy rewards (the a1 leak, round 4).
+        state = state.replace(torques=jnp.where(
+            nonfinite[:, None], 0.0, state.torques))
+        if getattr(state, "sea_hidden", None) is not None \
+                and state.sea_hidden.size:
+            nf_sea = jnp.repeat(nonfinite, self.nj)[None, :, None]
+            state = state.replace(
+                sea_hidden=jnp.where(nf_sea, 0.0, state.sea_hidden),
+                sea_cell=jnp.where(nf_sea, 0.0, state.sea_cell))
 
         # Trajectory-generator tick at the policy rate (ref :405-417).
         tgen = self._traj_gen_cur(state)

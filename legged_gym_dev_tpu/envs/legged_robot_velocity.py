@@ -595,6 +595,17 @@ class LeggedRobotVelocityEnv:
         # before any reward/obs math sees them (base.guard_finite_state).
         robot, nonfinite = guard_finite_state(
             robot, self.sim.default_state(B))
+        # The physics also produced this step's torques (and SEA state)
+        # BEFORE the guard could see the blow-up — scrub them too, else
+        # NaN reaches the torque/energy rewards (the a1 leak, round 4).
+        state = state.replace(torques=jnp.where(
+            nonfinite[:, None], 0.0, state.torques))
+        if getattr(state, "sea_hidden", None) is not None \
+                and state.sea_hidden.size:
+            nf_sea = jnp.repeat(nonfinite, self.nj)[None, :, None]
+            state = state.replace(
+                sea_hidden=jnp.where(nf_sea, 0.0, state.sea_hidden),
+                sea_cell=jnp.where(nf_sea, 0.0, state.sea_cell))
 
         f_contact = self._contact_forces(robot, self._dr_sim(state))
         feet = jnp.asarray(self.feet_spheres, jnp.int32)

@@ -118,6 +118,12 @@ def _substep_rows(model, xs, dr_rows, *, nc_dr: bool, has_bmd: bool,
     # --- semi-implicit Euler + Lie-group quaternion update (dynamics.
     # integrate) + velocity clamp (robot_sim.substep) ------------------------
     v_new = [v[k] + dt * qdd[k] for k in range(nv)]
+    # Velocity caps BEFORE the position update (robot_sim.substep order;
+    # unclamped integration overflows to inf within one decimated step).
+    for k in range(6):
+        v_new[k] = jnp.clip(v_new[k], -base_vl, base_vl)
+    for j in range(nj):
+        v_new[6 + j] = jnp.clip(v_new[6 + j], -vel_lim[j], vel_lim[j])
     pos_new = [p0[i] + dt * v_new[i] for i in range(3)]
     phi = [dt * v_new[3 + i] for i in range(3)]
     ang2 = phi[0] * phi[0] + phi[1] * phi[1] + phi[2] * phi[2]
@@ -136,10 +142,6 @@ def _substep_rows(model, xs, dr_rows, *, nc_dr: bool, has_bmd: bool,
     qn = jnp.maximum(jnp.sqrt(qx * qx + qy * qy + qz * qz + qw * qw), _EPS)
     quat_new = [qx / qn, qy / qn, qz / qn, qw / qn]
     q_new = [q[j] + dt * v_new[6 + j] for j in range(nj)]
-    for j in range(nj):
-        v_new[6 + j] = jnp.clip(v_new[6 + j], -vel_lim[j], vel_lim[j])
-    for k in range(6):   # base cap (robot_sim.base_vel_limit, PhysX parity)
-        v_new[k] = jnp.clip(v_new[k], -base_vl, base_vl)
     return pos_new + quat_new + q_new + v_new
 
 

@@ -164,17 +164,32 @@ class RobotSim:
                 self.terrain_fn),
             base_mass_delta=self.base_mass_delta,
         )
-        new = integrate(self.model, state, qdd, self.dt)
-        # Joint velocity caps enforced by clamping (PhysX enforces URDF
-        # velocity limits at the solver level; a penalty force here would be
-        # explicit and unstable for gram-scale link inertias). Base rows
-        # capped at base_vel_limit (PhysX max_linear/angular_velocity).
-        qd = jnp.clip(new.v[..., 6:], -self.model.vel_limit,
-                      self.model.vel_limit)
-        base_v = jnp.clip(new.v[..., :6], -self.base_vel_limit,
-                          self.base_vel_limit)
-        return new.replace(
-            v=new.v.at[..., 6:].set(qd).at[..., :6].set(base_v))
+        # Velocity caps BEFORE the position update (PhysX enforces URDF
+        # velocity limits and max_linear/angular_velocity at the solver
+        # level; a penalty force here would be explicit and unstable for
+        # gram-scale link inertias). Clamping after integrating positions
+        # is not enough: one substep with an unclamped 1e5-scale velocity
+        # moves kilometers, the next substep's contact force overflows,
+        # and inf arrives within a single decimated step (the a1 NaN,
+        # docs/PERF.md round 4) — clamped-velocity integration bounds the
+        # per-substep excursion to base_vel_limit * dt. Semi-implicit
+        # Euler inlined (dynamics.integrate with the clamp inserted
+        # between the velocity and position updates; the Pallas substep
+        # kernel mirrors this op order exactly).
+        from .dynamics import quat_mul, quat_normalize, so3_exp
+
+        v_cap = jnp.concatenate([
+            jnp.broadcast_to(jnp.asarray(self.base_vel_limit, jnp.float32),
+                             (6,)),
+            jnp.asarray(self.model.vel_limit, jnp.float32),
+        ])
+        v_new = jnp.clip(state.v + self.dt * qdd, -v_cap, v_cap)
+        base_pos = state.base_pos + self.dt * v_new[..., :3]
+        dq_quat = so3_exp(self.dt * v_new[..., 3:6])
+        base_quat = quat_normalize(quat_mul(state.base_quat, dq_quat))
+        q = state.q + self.dt * v_new[..., 6:]
+        return RobotState(base_pos=base_pos, base_quat=base_quat, q=q,
+                          v=v_new)
 
     def step(self, state: RobotState,
              torque_fn: Callable[[RobotState], jax.Array]) -> RobotState:
