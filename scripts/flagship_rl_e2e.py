@@ -173,6 +173,14 @@ def main():
     print(f"[2/5] best-stage selection + fixture eval done "
           f"({len(candidates)} candidates)", flush=True)
 
+    if os.environ.get("STOP_AFTER") == "2":
+        # Ablation mode: training + fixture comparison only (per-item
+        # attribution runs skip the tube/MPC phases).
+        with open(REPORT, "w") as f:
+            json.dump(report, f, indent=1)
+        print(json.dumps(report))
+        return
+
     # ------------------------------------------------------------------
     # 3. Collect tube data FROM THE SELECTED POLICY (ref
     #    data_collection_trajectory.py:56-149, wandb-policy path)

@@ -179,3 +179,24 @@ def test_masked_reset_only_touches_masked_envs():
     np.testing.assert_allclose(after[4:], before[4:], atol=1e-6)
     # Masked envs rebuilt near the new start.
     assert np.all(np.abs(after[:4, 0, :] - 5.0) < 2.0)
+
+
+def test_turn_biased_sampler_mass():
+    """UniformWeightSamplerTurnBiased: ramp excluded, sinusoid carries the
+    dominant expected simplex mass (~2/3 at the default sin_weight=3)."""
+    import jax
+
+    from legged_gym_dev_tpu.trajgen.samplers import (
+        SAMPLER_REGISTRY,
+        UniformWeightSamplerTurnBiased,
+    )
+
+    s = UniformWeightSamplerTurnBiased()
+    w = np.asarray(s.sample(jax.random.PRNGKey(0), 4096))
+    assert w.shape == (4096, 4)
+    np.testing.assert_allclose(w.sum(axis=-1), 1.0, atol=1e-5)
+    assert np.all(w[:, 1] == 0.0)                 # ramp excluded
+    mean = w.mean(axis=0)
+    assert mean[3] > 0.55, mean                   # sinusoid dominates
+    assert mean[3] > 2.5 * mean[2], mean          # extreme halved vs x3 sin
+    assert SAMPLER_REGISTRY["UniformWeightSamplerTurnBiased"]().mask[3] == 3.0
