@@ -114,11 +114,18 @@ def run_mode(tube: str, batch: int, linsolve: str = None):
         )
     )
 
+    # 3-call chained warmup burst: the remote backend's one-time executable
+    # finalization (~27 s) can smear past the first post-compile call, and a
+    # single-warmup best-of-3 read 31% low in the round-4 driver capture
+    # (VERDICT r4 Weak #1). Burst first, then time.
     out = solve(p_batch)  # compile + first run
     np.asarray(out.z)  # host transfer forces completion (block_until_ready
     #                    is unreliable on the experimental remote backend)
+    for _ in range(2):
+        out = solve(p_batch)
+    np.asarray(out.z)
 
-    n_rep = 3
+    n_rep = 5
     times = []
     for _ in range(n_rep):
         t0 = time.perf_counter()
@@ -154,6 +161,10 @@ def run_mode(tube: str, batch: int, linsolve: str = None):
         "value": round(solves_per_s, 1),
         "batch": B,
         "solve_wall_s": round(dt, 4),
+        # Load sentinel: rep spread + host load let a reader tell a clean
+        # capture from a contended one (host CPU load inflates remote-TPU
+        # wall 2x+ via dispatch starvation — the round-4 regression cause).
+        "rep_wall_s": [round(t, 4) for t in times],
         "feasible_frac": feasible_frac,
         "max_viol": float(viol.max()),
         "max_viol_feasible": max_viol_feasible,
@@ -252,6 +263,7 @@ def main():
     setup_tpu_runtime()
 
     baseline_solves_per_s = 10.0  # serial warm-started IPOPT (see header)
+    load_start = os.getloadavg()
 
     # Headline: l1 analytic tube at its best batch — with the Pallas
     # kernel factor the throughput peak moved from B=4096 (XLA-scan era)
@@ -279,6 +291,10 @@ def main():
     if not os.environ.get("BENCH_SKIP_TICK"):
         rec["tick_budget"] = measure_tick_budget()
 
+    # Host-load sentinel (2 cores here): 1-min load >~0.5 at either edge
+    # means the capture ran contended and the value reads low.
+    rec["loadavg_1m"] = {"start": round(load_start[0], 2),
+                         "end": round(os.getloadavg()[0], 2)}
     print(json.dumps(rec))
 
 

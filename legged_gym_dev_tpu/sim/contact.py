@@ -51,10 +51,19 @@ def contact_forces(params: ContactParams, pos: jax.Array, vel: jax.Array,
     differentiable heightfield works.
     """
     xy = pos[..., :2]
-    h = terrain_fn(xy)
     # Surface normal from height gradient: n ~ (-dh/dx, -dh/dy, 1).
-    grad_h = jax.grad(lambda p: terrain_fn(p[None, :])[0])
-    g = jnp.vectorize(grad_h, signature="(k)->(k)")(xy)
+    # Heightfield samplers attach an analytic fused height+gradient path
+    # (utils/terrain.py make_terrain_fn) — one 4-corner gather instead of
+    # a second autodiff gather pass per contact point per substep (the
+    # round-5 rough-terrain hot spot); arbitrary differentiable height
+    # functions fall back to autodiff.
+    vag = getattr(terrain_fn, "value_and_grad", None)
+    if vag is not None:
+        h, g = vag(xy)
+    else:
+        h = terrain_fn(xy)
+        grad_h = jax.grad(lambda p: terrain_fn(p[None, :])[0])
+        g = jnp.vectorize(grad_h, signature="(k)->(k)")(xy)
     n = jnp.concatenate([-g, jnp.ones_like(h)[..., None]], axis=-1)
     n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
 

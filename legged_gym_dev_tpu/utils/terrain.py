@@ -337,27 +337,54 @@ class Terrain:
         -border_size).
         """
         if self.type in ("none", "plane"):
-            return lambda xy: jnp.zeros(xy.shape[:-1])
-        hf = jnp.asarray(self.height_field_raw, jnp.float32) \
-            * self.cfg.vertical_scale
+            fn = lambda xy: jnp.zeros(xy.shape[:-1])  # noqa: E731
+            fn.value_and_grad = lambda xy: (
+                jnp.zeros(xy.shape[:-1]), jnp.zeros_like(xy))
+            return fn
+        # Flattened table + a single fused 4-corner gather: 2D advanced
+        # indexing (hf[x0, y0] x4) lowers to four separate multi-dim
+        # gathers on TPU; one 1D take of (..., 4) precomputed flat indices
+        # is the fast form (round-5 rough-terrain attribution,
+        # docs/PERF.md).
+        hf_flat = jnp.asarray(self.height_field_raw.reshape(-1),
+                              jnp.float32) * self.cfg.vertical_scale
         hs = self.cfg.horizontal_scale
         border = self.cfg.border_size
-        H, W = hf.shape
+        H, W = self.height_field_raw.shape
 
-        def terrain_fn(xy):
+        def _corners(xy):
             px = (xy[..., 0] + border) / hs
             py = (xy[..., 1] + border) / hs
             x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, H - 2)
             y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, W - 2)
             wx = jnp.clip(px - x0, 0.0, 1.0)
             wy = jnp.clip(py - y0, 0.0, 1.0)
-            h00 = hf[x0, y0]
-            h10 = hf[x0 + 1, y0]
-            h01 = hf[x0, y0 + 1]
-            h11 = hf[x0 + 1, y0 + 1]
+            idx = (x0 * W + y0)[..., None] + jnp.asarray(
+                [0, 1, W, W + 1], jnp.int32)
+            hq = jnp.take(hf_flat, idx)  # (..., 4) = h00, h01, h10, h11
+            return hq, wx, wy
+
+        def terrain_fn(xy):
+            hq, wx, wy = _corners(xy)
+            h00, h01, h10, h11 = (hq[..., 0], hq[..., 1], hq[..., 2],
+                                  hq[..., 3])
             return ((1 - wx) * (1 - wy) * h00 + wx * (1 - wy) * h10
                     + (1 - wx) * wy * h01 + wx * wy * h11)
 
+        def value_and_grad(xy):
+            """Height + analytic surface gradient from the SAME 4-corner
+            gather — replaces a per-point autodiff pass in the contact
+            model's per-substep query (sim/contact.py)."""
+            hq, wx, wy = _corners(xy)
+            h00, h01, h10, h11 = (hq[..., 0], hq[..., 1], hq[..., 2],
+                                  hq[..., 3])
+            h = ((1 - wx) * (1 - wy) * h00 + wx * (1 - wy) * h10
+                 + (1 - wx) * wy * h01 + wx * wy * h11)
+            gx = ((1 - wy) * (h10 - h00) + wy * (h11 - h01)) / hs
+            gy = ((1 - wx) * (h01 - h00) + wx * (h11 - h10)) / hs
+            return h, jnp.stack([gx, gy], axis=-1)
+
+        terrain_fn.value_and_grad = value_and_grad
         return terrain_fn
 
 

@@ -4,6 +4,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+import pytest
 
 from legged_gym_dev_tpu.rl import PPOConfig
 from legged_gym_dev_tpu.rl.networks import ActorCriticRecurrent
@@ -14,6 +15,18 @@ from legged_gym_dev_tpu.rl.ppo_recurrent import (
 )
 
 from tests.test_rl import make_env
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _free_compile_memory():
+    # The BPTT-through-physics compiles here spike XLA host memory on top
+    # of the executables accumulated by earlier tests on the same xdist
+    # worker; under ``-n 2`` that combination has OOM-killed a worker
+    # (green standalone). Dropping the accumulated cache before and after
+    # this module keeps the peak bounded.
+    jax.clear_caches()
+    yield
+    jax.clear_caches()
 
 
 def _setup(num_envs=32, hidden=32):

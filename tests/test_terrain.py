@@ -100,6 +100,24 @@ def test_terrain_fn_matches_heightfield():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_terrain_value_and_grad_matches_autodiff():
+    """The fused analytic height+gradient path (used per-substep by the
+    contact model) must agree with autodiff of the sampler away from cell
+    boundaries."""
+    cfg = TerrainCfg(num_rows=2, num_cols=2, curriculum=True, border_size=1.0,
+                     terrain_length=4.0, terrain_width=4.0)
+    t = Terrain(cfg, num_robots=4, seed=0)
+    fn = t.make_terrain_fn()
+    rng = np.random.default_rng(1)
+    # Interior points, offset from pixel centers (gradient is unique there).
+    xy = jnp.asarray(rng.uniform(0.3, 5.3, (64, 2)) + 0.033, jnp.float32)
+    h, g = fn.value_and_grad(xy)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(fn(xy)), atol=1e-5)
+    g_ad = jax.vmap(jax.grad(lambda p: fn(p[None, :])[0]))(xy)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ad),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_height_scan_shapes():
     cfg = TerrainCfg(num_rows=2, num_cols=2, border_size=1.0,
                      terrain_length=4.0, terrain_width=4.0)
