@@ -300,6 +300,24 @@ def make_velocity_env(urdf_path: str, num_envs: int = 4096,
     default_dof = jnp.asarray(
         [default_angles.get(n, 0.0) for n in model.dof_names], jnp.float32
     )
+
+    def _gains(g):
+        """Scalar, or dict matched by name-substring like the reference's
+        control.stiffness/damping tables (ref legged_robot.py:560-575
+        _init_buffers gain assignment: first key contained in the dof name
+        wins)."""
+        if isinstance(g, dict):
+            vals = []
+            for n in model.dof_names:
+                v = 0.0
+                for k, gv in g.items():
+                    if k in n:
+                        v = float(gv)
+                        break
+                vals.append(v)
+            return jnp.asarray(vals, jnp.float32)
+        return jnp.full((model.nj,), float(g))
+
     feet, pen, term = classify_contacts(model, foot_name, penalize_on,
                                         terminate_on)
     nj = model.nj
@@ -324,8 +342,8 @@ def make_velocity_env(urdf_path: str, num_envs: int = 4096,
     return LeggedRobotVelocityEnv(
         sim=sim,
         default_dof_pos=default_dof,
-        p_gains=jnp.full((nj,), p_gain),
-        d_gains=jnp.full((nj,), d_gain),
+        p_gains=_gains(p_gain),
+        d_gains=_gains(d_gain),
         base_init_pos=jnp.asarray([0.0, 0.0, base_height]),
         obs_scales=jnp.ones(1),  # scales applied inline
         noise_vec=noise_vec,
@@ -675,8 +693,17 @@ def make_cassie_env(**kw):
     kw.setdefault("sim_decimation", 8)
     kw.setdefault("contact", ContactParams.create(stiffness=20000.0,
                                                   damping=100.0))
-    kw.setdefault("p_gain", 100.0)
-    kw.setdefault("d_gain", 3.0)
+    # Per-joint PD tables + action scale (ref cassie_config.py control
+    # block: 100/100/200/200/200/40 stiffness, 3/3/6/6/6/1 damping,
+    # action_scale 0.5) — the round-4 run used flat 100/3 gains at 0.25
+    # scale, which under-drives the flexion/thigh/ankle joints.
+    kw.setdefault("p_gain", {"hip_abduction": 100.0, "hip_rotation": 100.0,
+                             "hip_flexion": 200.0, "thigh_joint": 200.0,
+                             "ankle_joint": 200.0, "toe_joint": 40.0})
+    kw.setdefault("d_gain", {"hip_abduction": 3.0, "hip_rotation": 3.0,
+                             "hip_flexion": 6.0, "thigh_joint": 6.0,
+                             "ankle_joint": 6.0, "toe_joint": 1.0})
+    kw.setdefault("action_scale", 0.5)
     kw.setdefault("base_height", 1.0)
     kw.setdefault("base_height_target", 0.9)
     kw.setdefault("foot_name", "toe")
@@ -696,6 +723,7 @@ def make_cassie_env(**kw):
         ("feet_air_time", 5.0),
         ("dof_pos_limits", -1.0),
         ("no_fly", 0.25),
+        ("action_rate", -0.01),   # inherited from the ref base scales
         ("termination", -200.0),
     ))
     return make_velocity_env(CASSIE_URDF, **kw)

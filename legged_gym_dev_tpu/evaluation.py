@@ -187,6 +187,49 @@ def evaluate_tracking_policy(env, policy: Callable, traj_gen_cls,
     }
 
 
+def evaluate_velocity_tracking(env, policy: Callable, key,
+                               steps: int = 500,
+                               settle: int = 50) -> Dict[str, float]:
+    """Command-tracking + gait stats for a velocity-command env
+    (the role of the reference's play.py eval loop + the biped no_fly
+    inspection, ref cassie.py:43-46): rolls the deterministic policy and
+    reports mean planar velocity-tracking error, single-stance fraction
+    (overall and while commanded to move), and per-step termination rate.
+    """
+    from .core.maths import quat_to_rotmat
+
+    es, obs = jax.jit(env.reset)(key)
+    feet = jnp.asarray(env.feet_spheres, jnp.int32)
+
+    def body(carry, _):
+        es, obs = carry
+        act = policy(obs)
+        es, tr = env.step(es, act)
+        robot = es.robot
+        R = quat_to_rotmat(robot.base_quat)
+        v_body = jnp.einsum("bji,bj->bi", R, robot.v[:, :3])
+        err = jnp.linalg.norm(v_body[:, :2] - es.commands[:, :2], axis=-1)
+        f = env._contact_forces(robot)
+        single = (jnp.sum((f[:, feet, 2] > 1.0).astype(jnp.int32), axis=-1)
+                  == 1)
+        moving = jnp.linalg.norm(es.commands[:, :2], axis=-1) > 0.1
+        return (es, tr.obs), (err.mean(), single.mean(),
+                              (single & moving).sum() / (moving.sum() + 1e-6),
+                              tr.done.mean())
+
+    (es, _), (errs, single, single_mov, dones) = jax.lax.scan(
+        body, (es, obs), None, length=steps)
+    stats = jnp.stack([errs[settle:].mean(), single[settle:].mean(),
+                       single_mov[settle:].mean(), dones[settle:].mean()])
+    stats = np.asarray(stats)  # ONE host fetch (remote-backend RPC cost)
+    return {
+        "track_err_m_s": float(stats[0]),
+        "single_stance_frac": float(stats[1]),
+        "single_stance_moving": float(stats[2]),
+        "done_rate_per_step": float(stats[3]),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Sim2sim: this framework's sim vs MuJoCo (ref evaluate_sim2sim.py)
 # ---------------------------------------------------------------------------

@@ -116,11 +116,28 @@ class MLP:
         out = _ACTIVATIONS[self.final_activation](out_pre)
 
         # Backward accumulation M_k = d out_pre / d (layer-k input),
-        # shaped (..., h_k, out).
+        # shaped (..., h_k, out). The shared-weight left-product
+        # ``einsum("ij,...jo->...io", W, Y)`` lowers on TPU to a batched
+        # small GEMM — one (i, j)x(j, o) per batch element, a fraction of
+        # a 128x128 MXU tile each, serialized in tile-sized waves (the
+        # round-4 tick analysis, docs/PERF.md). Reassociating to ONE
+        # (i, j)x(j, B*o) GEMM via two cheap transposes keeps the MXU
+        # full at identical f32 semantics (round-5 A/B: 5.5x on this
+        # chain at B=1024).
         W_last = self.weights[-1]
         M = jnp.broadcast_to(W_last, x.shape[:-1] + W_last.shape)
+
+        def leftmul(W, Y):
+            lead = Y.shape[:-2]
+            j, o = Y.shape[-2], Y.shape[-1]
+            Yr = jnp.moveaxis(Y.reshape((-1, j, o)), 0, 1).reshape(j, -1)
+            Z = W @ Yr                                   # (i, B*o)
+            return jnp.moveaxis(
+                Z.reshape(W.shape[0], -1, o), 1, 0
+            ).reshape(lead + (W.shape[0], o))
+
         for W, a in zip(reversed(self.weights[:-1]), reversed(acts_pre)):
-            M = jnp.einsum("ij,...jo->...io", W, dact(a)[..., :, None] * M)
+            M = leftmul(W, dact(a)[..., :, None] * M)
         if self.final_activation != "none":
             M = M * _ACT_DERIVS[self.final_activation](out_pre)[..., None, :]
         J = jnp.swapaxes(M, -1, -2)

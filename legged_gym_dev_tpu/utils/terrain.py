@@ -341,16 +341,24 @@ class Terrain:
             fn.value_and_grad = lambda xy: (
                 jnp.zeros(xy.shape[:-1]), jnp.zeros_like(xy))
             return fn
-        # Flattened table + a single fused 4-corner gather: 2D advanced
-        # indexing (hf[x0, y0] x4) lowers to four separate multi-dim
-        # gathers on TPU; one 1D take of (..., 4) precomputed flat indices
-        # is the fast form (round-5 rough-terrain attribution,
-        # docs/PERF.md).
-        hf_flat = jnp.asarray(self.height_field_raw.reshape(-1),
-                              jnp.float32) * self.cfg.vertical_scale
+        # Pre-quadded corner table + ONE 4-wide-slice gather. The contact
+        # model samples B*nc points per SUBSTEP; scattered single-element
+        # gathers are the slow form on TPU (measured, scripts/
+        # bench_terrain_gather.py at the anymal_c_rough scale: 4 singles
+        # 0.97 ms/call, two pair-slices 0.37, one quad-slice 0.25 —
+        # 3.9x). hf4[(x, y)] holds the cell's [h00, h01, h10, h11], so a
+        # bilinear sample is a single `take(axis=0)` of contiguous
+        # 4-element slices at 4x the table memory (one-time host build).
+        hf_np = (self.height_field_raw.astype(np.float32)
+                 * self.cfg.vertical_scale)
+        hf4 = jnp.asarray(np.stack(
+            [hf_np[:-1, :-1], hf_np[:-1, 1:], hf_np[1:, :-1],
+             hf_np[1:, 1:]], axis=-1,
+        ).reshape(-1, 4))
         hs = self.cfg.horizontal_scale
         border = self.cfg.border_size
         H, W = self.height_field_raw.shape
+        Wc = W - 1  # quad-table column count
 
         def _corners(xy):
             px = (xy[..., 0] + border) / hs
@@ -359,9 +367,8 @@ class Terrain:
             y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, W - 2)
             wx = jnp.clip(px - x0, 0.0, 1.0)
             wy = jnp.clip(py - y0, 0.0, 1.0)
-            idx = (x0 * W + y0)[..., None] + jnp.asarray(
-                [0, 1, W, W + 1], jnp.int32)
-            hq = jnp.take(hf_flat, idx)  # (..., 4) = h00, h01, h10, h11
+            flat = (x0 * Wc + y0).reshape(-1)
+            hq = jnp.take(hf4, flat, axis=0).reshape(x0.shape + (4,))
             return hq, wx, wy
 
         def terrain_fn(xy):

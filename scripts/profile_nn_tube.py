@@ -16,19 +16,31 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(tag, fn, *args, reps=3):
-    import jax
+def timeit(tag, fn, *args, reps=5):
+    """Round-5 fix: time a CHECKSUM of the result, not the result.
 
-    out = fn(*args)
-    np.asarray(jax.tree.leaves(out)[0])
+    The original fetched ``tree.leaves(out)[0]`` — for the Jacobian
+    variants that is a 28 MB device->host transfer over the remote tunnel
+    PER REP, which swamped compute ~20x and produced the round-3/4
+    "5-6 ms/call vs <1 ms roofline" attribution (real: ~0.25 ms/call).
+    The checksum is applied OUTSIDE the fori_loop carry, so every
+    iteration's full computation stays live."""
+    import jax
+    import jax.numpy as jnp
+
+    fnw = jax.jit(lambda *a: jax.tree_util.tree_reduce(
+        lambda acc, x: acc + jnp.sum(jnp.asarray(x, jnp.float32)),
+        fn(*a), jnp.float32(0.0)))
+    out = fnw(*args)
+    np.asarray(out)
     for _ in range(2):
-        out = fn(*args)
-    np.asarray(jax.tree.leaves(out)[0])
+        out = fnw(*args)
+    np.asarray(out)
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        np.asarray(jax.tree.leaves(out)[0])
+        out = fnw(*args)
+        np.asarray(out)
         ts.append(time.perf_counter() - t0)
     print(f"{tag}: {min(ts)*1000:.1f} ms", flush=True)
     return min(ts)

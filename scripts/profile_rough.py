@@ -1,11 +1,13 @@
 """Attribute the rough-terrain slowdown (round-5 VERDICT item 2).
 
 Rough `anymal_c_rough` trained at 41k steps/s vs 1.6-2.1M on flat
-(docs/PERF.md round 4). Suspects: the per-substep per-contact-point
-heightfield queries (bilinear gather + autodiff gradient,
-sim/contact.py:53-59) and the 187-point perceptive height scan
-(utils/terrain.py height_scan). This script times each in isolation on
-chip so the optimization lands on the measured bottleneck.
+(docs/PERF.md round 4). Times a 50-policy-step scan INSIDE one jit with a
+scalar output (full-state fetches over the remote tunnel would swamp
+compute; the carried env state keeps every step live against DCE), for:
+  - rough vs flat full env steps,
+  - rough with the height scan disabled (isolates the 187-pt scan),
+  - flat with the Pallas substep forced off (isolates the kernel-vs-
+    fallback gap the rough path pays).
 """
 import os
 import sys
@@ -15,21 +17,33 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+K = 50  # policy steps per timed call
 
-def timed(fn, *args, reps=10, warm=3):
+
+def timed_scan(env, es, act, reps=5):
     import jax
-    out = fn(*args)
-    jax.tree.util.tree_map(np.asarray, out)
-    for _ in range(warm - 1):
-        out = fn(*args)
-    jax.tree.util.tree_map(np.asarray, out)
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(es):
+        def body(s, _):
+            s, tr = env.step(s, act)
+            return s, None
+        es, _ = jax.lax.scan(body, es, None, length=K)
+        return jnp.sum(es.robot.base_pos[:, 2])
+
+    out = run(es)
+    np.asarray(out)
+    for _ in range(2):
+        out = run(es)
+    np.asarray(out)
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.tree.util.tree_map(np.asarray, out)
+        out = run(es)
+        np.asarray(out)
         ts.append(time.perf_counter() - t0)
-    return min(ts)
+    return min(ts) / K
 
 
 def main():
@@ -41,55 +55,36 @@ def main():
 
     from legged_gym_dev_tpu import envs  # noqa: F401
     from legged_gym_dev_tpu.envs import task_registry
-    from legged_gym_dev_tpu.sim.contact import contact_forces, flat_terrain
-    from legged_gym_dev_tpu.sim.dynamics import contact_kinematics
-    from legged_gym_dev_tpu.utils.terrain import height_scan
 
     B = int(os.environ.get("ENVS", "2048"))
     env = task_registry.make_env("anymal_c_rough", num_envs=B)
-    envf = task_registry.make_env("anymal_c", num_envs=B)
+    envf = task_registry.make_env("anymal_c_velocity", num_envs=B)
+    env_noscan = env.replace(measured_points_x=None, measured_points_y=None,
+                             noise_vec=envf.noise_vec)
+    envf_noker = envf.replace(sim=envf.sim.replace(use_pallas_substep=False))
     key = jax.random.PRNGKey(0)
-    es, _ = jax.jit(env.reset)(key)
-    esf, _ = jax.jit(envf.reset)(key)
     act = jnp.zeros((B, 12))
     nc = env.sim.model.contact_radius.shape[0]
-    print(f"B={B} nc={nc} hf={env.sim.terrain_fn.__name__ if hasattr(env.sim.terrain_fn, '__name__') else 'heightfield'}",
-          flush=True)
 
-    # 1. full env policy step: rough vs flat
-    step_r = jax.jit(lambda s: env.step(s, act)[0])
-    step_f = jax.jit(lambda s: envf.step(s, act)[0])
-    t_r = timed(step_r, es)
-    t_f = timed(step_f, esf)
-    print(f"env.step rough {t_r*1e3:.2f} ms  flat {t_f*1e3:.2f} ms  "
-          f"ratio {t_r/t_f:.1f}x  (rough {B/t_r:.0f} steps/s)", flush=True)
+    es, _ = jax.jit(env.reset)(key)
+    esf, _ = jax.jit(envf.reset)(key)
+    esn, _ = jax.jit(env_noscan.reset)(key)
 
-    # 2. height scan alone (policy rate, 187 pts)
-    hs = jax.jit(lambda r: height_scan(
-        env.sim.terrain_fn, r.base_pos, r.base_quat,
-        env.measured_points_x, env.measured_points_y))
-    t_hs = timed(hs, es.robot)
-    print(f"height_scan(187pt) {t_hs*1e3:.2f} ms/call", flush=True)
-
-    # 3. contact query alone at substep scale: rough vs flat terrain_fn
-    pos, vel, _ = contact_kinematics(env.sim.model, es.robot)
-    cf_r = jax.jit(lambda p, v: contact_forces(
-        env.sim.contact, p, v, env.sim.model.contact_radius,
-        env.sim.terrain_fn))
-    cf_f = jax.jit(lambda p, v: contact_forces(
-        env.sim.contact, p, v, env.sim.model.contact_radius, flat_terrain))
-    t_cr = timed(cf_r, pos, vel)
-    t_cf = timed(cf_f, pos, vel)
-    print(f"contact_forces rough {t_cr*1e3:.2f} ms  flat {t_cf*1e3:.2f} ms "
-          f"(x4 substeps = {4*t_cr*1e3:.2f} ms/policy-step)", flush=True)
-
-    # 4. substep alone: rough vs flat
-    tau = jnp.zeros((B, 12))
-    ss_r = jax.jit(lambda s: env.sim.substep(s, tau))
-    ss_f = jax.jit(lambda s: envf.sim.substep(s, tau))
-    t_sr = timed(ss_r, es.robot)
-    t_sf = timed(ss_f, esf.robot)
-    print(f"substep rough {t_sr*1e3:.2f} ms  flat {t_sf*1e3:.2f} ms", flush=True)
+    t_f = timed_scan(envf, esf, act)
+    print(f"flat (pallas substep): {t_f*1e3:.2f} ms/step "
+          f"({B/t_f:.0f} steps/s)", flush=True)
+    t_fn = timed_scan(envf_noker, esf, act)
+    print(f"flat (XLA fallback):   {t_fn*1e3:.2f} ms/step "
+          f"({B/t_fn:.0f} steps/s)", flush=True)
+    t_n = timed_scan(env_noscan, esn, act)
+    print(f"rough, no height scan: {t_n*1e3:.2f} ms/step "
+          f"({B/t_n:.0f} steps/s)", flush=True)
+    t_r = timed_scan(env, es, act)
+    print(f"rough (full):          {t_r*1e3:.2f} ms/step "
+          f"({B/t_r:.0f} steps/s)  [nc={nc}]", flush=True)
+    print(f"attribution: scan {1e3*(t_r-t_n):.2f} ms, terrain-in-contact "
+          f"{1e3*(t_n-t_fn):.2f} ms, kernel-vs-fallback "
+          f"{1e3*(t_fn-t_f):.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
