@@ -434,6 +434,36 @@ def evaluate_tube_on_mpc_trace(trace) -> Dict[str, float]:
     }
 
 
+def trace_conformal_scale(trace, alpha: float = 0.9,
+                          w_min: float = 1e-4) -> float:
+    """Split-conformal width multiplier computed on an EXECUTED closed-loop
+    trace (round-5 VERDICT item 7): the held-out-robot-data calibration
+    (tube.train.conformal_width_scale) is exact on its own distribution,
+    but the closed loop tracks with a surrogate plant, and the
+    distribution shift cost the quadruped 0.04 of executed coverage
+    (0.901 held-out -> 0.860 on trace, docs/PERF.md round 4). Running the
+    MPC loop once on a held-out CALIBRATION scenario batch and taking the
+    finite-sample-corrected alpha-quantile of realized error/width
+    restores the conformal guarantee on the closed-loop-consistent
+    distribution (ref datasets.py:281-357 recursive evaluation role).
+
+    Steps with w <= w_min (the pre-first-solve zeros) are excluded.
+    Compound onto the model with
+    ``model.replace(out_scale=jnp.asarray(s_data * s_trace))``.
+    """
+    z = np.asarray(trace.z)
+    w = np.asarray(trace.w).reshape(-1)
+    err = np.linalg.norm(np.asarray(trace.pz_x).reshape(-1, z.shape[-1])
+                         - z.reshape(-1, z.shape[-1]), axis=-1)
+    m = w > w_min
+    ratio = err[m] / w[m]
+    n = ratio.size
+    if n == 0:
+        return 1.0
+    q = min(1.0, np.ceil((n + 1) * alpha) / n)
+    return float(np.quantile(ratio, q, method="higher"))
+
+
 # ---------------------------------------------------------------------------
 # Error-dynamics evaluation (ref evaluation/evaluate_error_dyn[_simple].py)
 # ---------------------------------------------------------------------------

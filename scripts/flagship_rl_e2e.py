@@ -303,13 +303,13 @@ def main():
     pm = make_rom("SingleInt2D", prob["dt"], [-prob["pos_max"]] * 2,
                   [prob["pos_max"]] * 2, [-v_plan] * 2, [v_plan] * 2)
 
-    def build_batch(tube_model):
+    def build_batch(tube_model, seed=0):
         p = TrajOptParams.create(
             pm, N, H_REV, 10 * np.eye(2), 10 * np.eye(2),
             prob["start"], prob["goal"], prob["obs"]["c"], prob["obs"]["r"],
             Qw=0.1, w_max=1.0, tube_params=tube_model,
         )
-        rng = np.random.default_rng(0)
+        rng = np.random.default_rng(seed)
         pb = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), p)
         return pb.replace(
             z0=pb.z0 + jnp.asarray(rng.uniform(-0.15, 0.15, (B, 2)),
@@ -338,8 +338,8 @@ def main():
         warm_start="nominal", tube_ws="evaluate",
     )))
 
-    def run_loop(tube_model, label):
-        p_batch = build_batch(tube_model)
+    def run_loop(tube_model, label, seed=0):
+        p_batch = build_batch(tube_model, seed=seed)
         t0 = time.perf_counter()
         out = run(p_batch)
         np.asarray(out[0])
@@ -386,9 +386,34 @@ def main():
 
     report["mpc_uncalibrated"] = run_loop(base_model, "uncalibrated tube")
     report["mpc"] = run_loop(cal_model, "calibrated tube ")
+
+    # 5b. Closed-loop trace-conformal calibration (round-5 VERDICT item
+    # 7): the robot-data conformal scale is exact on held-out robot
+    # rollouts but the surrogate-plant closed loop shifts the error
+    # distribution (quadruped r4: 0.901 held-out vs 0.860 executed).
+    # Run the loop once on a DISJOINT calibration scenario batch, take
+    # the finite-sample alpha-quantile of realized error/width, and
+    # compound it into out_scale; then report coverage on the original
+    # eval scenarios with the trace-calibrated tube.
+    from legged_gym_dev_tpu.evaluation import trace_conformal_scale
+
+    cal_out = run(build_batch(cal_model, seed=101))
+    zc, _, wc, pzc = [np.asarray(o) for o in cal_out[:4]]
+    cal_trace = types.SimpleNamespace(
+        z=zc.reshape(-1, zc.shape[-1]), w=wc.reshape(-1),
+        pz_x=pzc.reshape(-1, pzc.shape[-1]))
+    q_tr = trace_conformal_scale(cal_trace, alpha=0.9)
+    tc_model = res.best_model.replace(out_scale=jnp.asarray(s * q_tr))
+    report["trace_conformal"] = {"scale_q": round(q_tr, 4),
+                                 "out_scale": round(s * q_tr, 4)}
+    report["mpc_trace_cal"] = run_loop(tc_model, "trace-calibrated")
     print(f"[5/5] NN-tube MPC done (calibrated adoption "
           f"{report['mpc']['adopted_frac']:.3f}, coverage "
-          f"{report['mpc']['tube_coverage_on_trace']:.3f})", flush=True)
+          f"{report['mpc']['tube_coverage_on_trace']:.3f}; trace-cal "
+          f"q={q_tr:.3f} -> coverage "
+          f"{report['mpc_trace_cal']['tube_coverage_on_trace']:.3f} at "
+          f"adoption {report['mpc_trace_cal']['adopted_frac']:.3f})",
+          flush=True)
 
     with open(REPORT, "w") as f:
         json.dump(report, f, indent=1)

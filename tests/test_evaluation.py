@@ -214,3 +214,42 @@ def test_recursive_eval_scales_one_jit():
     wall = time.perf_counter() - t0
     assert 0.0 <= m["recursive_coverage"] <= 1.0
     assert wall < 5.0, f"2048-episode recursive eval took {wall:.1f}s"
+
+
+def test_trace_conformal_scale_restores_coverage():
+    """Synthetic executed trace: a width-scale computed by
+    trace_conformal_scale must bring per-step coverage to >= alpha on the
+    same distribution (finite-sample split-conformal property)."""
+    import types
+
+    from legged_gym_dev_tpu.evaluation import (
+        evaluate_tube_on_mpc_trace,
+        trace_conformal_scale,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 4000
+    w = rng.uniform(0.05, 0.3, n).astype(np.float32)
+    # Errors frequently exceed the (under-calibrated) widths.
+    err = w * rng.uniform(0.3, 1.5, n).astype(np.float32)
+    z = np.zeros((n, 2), np.float32)
+    pz = np.stack([err, np.zeros(n, np.float32)], axis=-1)
+    trace = types.SimpleNamespace(z=z, w=w, pz_x=pz, viol=np.zeros(n),
+                                  converged=np.ones(n, bool))
+    pre = evaluate_tube_on_mpc_trace(trace)
+    assert pre["coverage"] < 0.9
+    q = trace_conformal_scale(trace, alpha=0.9)
+    assert q > 1.0
+    trace2 = types.SimpleNamespace(z=z, w=w * q, pz_x=pz,
+                                   viol=np.zeros(n),
+                                   converged=np.ones(n, bool))
+    post = evaluate_tube_on_mpc_trace(trace2)
+    assert post["coverage"] >= 0.9, post
+    # Not wildly conservative on iid data.
+    assert post["coverage"] <= 0.97, post
+
+    # Pre-first-solve zeros are excluded from the quantile.
+    w0 = w.copy()
+    w0[:100] = 0.0
+    trace3 = types.SimpleNamespace(z=z, w=w0, pz_x=pz)
+    assert np.isfinite(trace_conformal_scale(trace3))
