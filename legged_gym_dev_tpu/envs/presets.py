@@ -557,7 +557,50 @@ def make_a1_env(**kw):
     return make_velocity_env(A1_URDF, **kw)
 
 
+# ANYmal-C reward scales. The fork's checkout comments out the base scale
+# table (ref legged_robot_config.py:153-168) and its anymal_c_rough
+# config adds none (`scales: pass`), so the operative public values are
+# upstream legged_gym's: base scales with the anymal_c_flat overrides
+# (ref anymal_c_flat_config.py:47-49: orientation -5.0, torques -2.5e-5,
+# feet_air_time 2.0). Round-5 bug fix: these presets previously reused
+# A1_REWARD_SCALES, whose torques scale (-2e-4, tuned for a 12 kg robot
+# with ~5 Nm torques) is 10-20x the anymal value — on the 50 kg ANYmal
+# the torque penalty swamped every positive term and only_positive_
+# rewards clipped the total to exactly 0, which also zeroes the PPO
+# gradient (the rough run sat at reward 0.0000 for 600 iterations).
+ANYMAL_FLAT_REWARD_SCALES = (
+    ("tracking_lin_vel", 1.0),
+    ("tracking_ang_vel", 0.5),
+    ("lin_vel_z", -2.0),
+    ("ang_vel_xy", -0.05),
+    ("orientation", -5.0),
+    ("torques", -2.5e-5),
+    ("dof_acc", -2.5e-7),
+    ("feet_air_time", 2.0),
+    ("collision", -1.0),
+    ("action_rate", -0.01),
+    ("termination", -0.0),
+)
+# Rough terrain: upstream base scales (torques -1e-5, feet_air_time 1.0,
+# no orientation term — the heightfield makes a flat-base prior wrong).
+ANYMAL_ROUGH_REWARD_SCALES = (
+    ("tracking_lin_vel", 1.0),
+    ("tracking_ang_vel", 0.5),
+    ("lin_vel_z", -2.0),
+    ("ang_vel_xy", -0.05),
+    ("torques", -1.0e-5),
+    ("dof_acc", -2.5e-7),
+    ("feet_air_time", 1.0),
+    ("collision", -1.0),
+    ("action_rate", -0.01),
+    ("termination", -0.0),
+)
+
+
 def _anymal_c_kwargs(kw):
+    # NOTE: no reward_scales here — this helper is shared with the
+    # trajectory presets, whose reward table (tracking_rom etc.) is set
+    # by make_trajectory_env.
     kw.setdefault("default_angles", {
         "LF_HAA": 0.0, "LF_HFE": 0.4, "LF_KFE": -0.8,
         "RF_HAA": 0.0, "RF_HFE": 0.4, "RF_KFE": -0.8,
@@ -576,12 +619,14 @@ def _anymal_c_kwargs(kw):
 
 
 def make_anymal_c_env(**kw):
+    kw.setdefault("reward_scales", ANYMAL_FLAT_REWARD_SCALES)
     return make_velocity_env(ANYMAL_C_URDF, **_anymal_c_kwargs(kw))
 
 
 def make_anymal_b_env(**kw):
     """ANYmal B velocity task (ref anymal_b_config.py:34-41 —
     AnymalCRoughCfg with the anymal_b URDF and foot name `FOOT`)."""
+    kw.setdefault("reward_scales", ANYMAL_FLAT_REWARD_SCALES)
     return make_velocity_env(ANYMAL_B_URDF, **_anymal_c_kwargs(kw))
 
 
@@ -600,6 +645,7 @@ def make_anymal_c_rough_env(num_envs: int = 4096, terrain_rows: int = 10,
     """ANYmal C on procedural rough terrain with perceptive height scan
     (ref task `anymal_c_rough`, anymal_c_rough_config.py: trimesh terrain,
     measure_heights on -> 235 observations, max_contact_force 500)."""
+    kw.setdefault("reward_scales", ANYMAL_ROUGH_REWARD_SCALES)
     kw = _anymal_c_kwargs(kw)
     kw.setdefault("measure_heights", True)
     kw.setdefault("max_contact_force", 500.0)

@@ -29,7 +29,11 @@ def main():
     task = os.environ.get("TASK", "a1_velocity")
     iters = int(os.environ.get("ITERS", "500"))
     n_envs = int(os.environ.get("ENVS", "4096"))
-    env = task_registry.make_env(task, num_envs=n_envs)
+    # Factory overrides, e.g. OVERRIDES='{"only_positive_rewards": false,
+    # "sim_dt": 0.0025, "sim_decimation": 8}' (diagnosis knobs).
+    import json
+    overrides = json.loads(os.environ.get("OVERRIDES", "{}"))
+    env = task_registry.make_env(task, num_envs=n_envs, **overrides)
     runner = task_registry.make_alg_runner(
         env, task, log_root=f"/tmp/{task}_logs", seed=0)
     t0 = time.perf_counter()
