@@ -252,7 +252,18 @@ def make_velocity_env(urdf_path: str, num_envs: int = 4096,
                       reward_scales=A1_REWARD_SCALES,
                       add_noise: bool = True,
                       episode_length_s: float = 20.0,
-                      only_positive_rewards: bool = True,
+                      # The reference clips negative totals at zero "to
+                      # avoid early termination problems" (ref
+                      # legged_robot_config.py:170). In THIS sim the
+                      # explicit-integrator contact carries larger
+                      # vz/dof_acc penalties at random init, and the clip
+                      # then zeroes the PPO gradient everywhere (measured
+                      # round 5: flat anymal pinned at reward exactly 0
+                      # for 300 iters with the clip; learns without it —
+                      # docs/PERF.md). Termination penalties in these
+                      # presets are mild, so the clip's motivation does
+                      # not apply; default False, overridable per task.
+                      only_positive_rewards: bool = False,
                       max_contact_force: float = 100.0,
                       measure_heights: bool = False,
                       randomize_friction: bool = True,
