@@ -28,14 +28,25 @@ from legged_gym_dev_tpu.solver import fast_tube as ft
 from legged_gym_dev_tpu.solver import staged_scalar as ss
 
 
-def timeit(fn, *a, n=3):
-    out = fn(*a)
-    np.asarray(jax.tree_util.tree_leaves(out)[0])
+def timeit(fn, *a, n=5):
+    # Round-5 fix: fetch a checksum, not the first output leaf — a large
+    # leaf transferred over the remote tunnel per rep swamps compute (the
+    # r3/r4 NN attribution bug, docs/PERF.md round-5 correction).
+    import jax.numpy as jnp
+
+    fnw = jax.jit(lambda *aa: jax.tree_util.tree_reduce(
+        lambda acc, x: acc + jnp.sum(jnp.asarray(x, jnp.float32)),
+        fn(*aa), jnp.float32(0.0)))
+    out = fnw(*a)
+    np.asarray(out)
+    for _ in range(2):
+        out = fnw(*a)
+    np.asarray(out)
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        out = fn(*a)
-        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        out = fnw(*a)
+        np.asarray(out)
         ts.append(time.perf_counter() - t0)
     return min(ts)
 
