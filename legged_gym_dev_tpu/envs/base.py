@@ -75,8 +75,9 @@ def compute_total_reward(active_terms, env, state, only_positive=False,
     return total, episode
 
 
-def guard_finite_state(robot, safe_state):
-    """Detect and neutralize envs whose physics state went non-finite.
+def guard_finite_state(robot, safe_state, explosion_vel: float = 50.0):
+    """Detect and neutralize envs whose physics state went non-finite OR
+    exploded to non-physical velocities.
 
     With the explicit integrator a contact blow-up can overflow to inf
     WITHIN one decimated control step — before env-level termination can
@@ -89,12 +90,22 @@ def guard_finite_state(robot, safe_state):
     ``safe_state`` values and reported so the caller force-terminates them
     (termination penalty + reset, the same path as an illegal contact).
 
+    Round 5: ``explosion_vel`` also flags envs whose base velocity is
+    finite but non-physical — a rare per-env contact resonance can ring
+    AT the 1000 m/s velocity cap without ever going inf, and a single
+    such env then contributes ~-1e4/step to the batch-mean reward and
+    ~1e10 to value targets, destroying learning for everyone (the a1
+    round-5 divergence: reward -272 -> -3934 while 99.9% of envs were
+    healthy). No legged robot legitimately exceeds tens of m/s; flagged
+    envs are reset through the same force-terminate path.
+
     Returns ``(sanitized_robot, bad_mask)``.
     """
     bad = ~(jnp.isfinite(robot.base_pos).all(-1)
             & jnp.isfinite(robot.base_quat).all(-1)
             & jnp.isfinite(robot.q).all(-1)
             & jnp.isfinite(robot.v).all(-1))
+    bad = bad | (jnp.max(jnp.abs(robot.v[..., :6]), axis=-1) > explosion_vel)
 
     def fix(x, s):
         m = bad.reshape((-1,) + (1,) * (x.ndim - 1))

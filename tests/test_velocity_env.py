@@ -113,3 +113,35 @@ def test_perceptive_height_scan_obs():
     # On the terrain the scan must not be constant across points for at
     # least one env (cells are sloped/stepped).
     assert np.std(h_obs) > 0.0
+
+
+def test_guard_flags_velocity_explosions():
+    """Finite-but-exploded envs (ringing at the velocity cap without ever
+    going inf) must be flagged and sanitized like non-finite ones — a
+    single such env poisons the whole PPO batch's mean reward/value
+    targets (the a1 round-5 divergence)."""
+    from legged_gym_dev_tpu.envs.base import guard_finite_state
+    from legged_gym_dev_tpu.sim.dynamics import RobotState
+
+    B, nj = 4, 3
+    robot = RobotState(
+        base_pos=jnp.zeros((B, 3)),
+        base_quat=jnp.tile(jnp.asarray([0.0, 0, 0, 1.0]), (B, 1)),
+        q=jnp.zeros((B, nj)),
+        v=jnp.zeros((B, 6 + nj)).at[1, 2].set(900.0)   # exploded, finite
+                                .at[2, 0].set(jnp.nan),  # non-finite
+    )
+    safe = RobotState(
+        base_pos=jnp.ones((B, 3)),
+        base_quat=jnp.tile(jnp.asarray([0.0, 0, 0, 1.0]), (B, 1)),
+        q=jnp.zeros((B, nj)),
+        v=jnp.zeros((B, 6 + nj)),
+    )
+    fixed, bad = guard_finite_state(robot, safe)
+    assert list(np.asarray(bad)) == [False, True, True, False]
+    assert np.all(np.asarray(fixed.v[1]) == 0)
+    assert np.all(np.isfinite(np.asarray(fixed.v)))
+    # Fast joints (wheels at 600 rad/s) are NOT base velocity — unflagged.
+    robot2 = robot.replace(v=jnp.zeros((B, 6 + nj)).at[0, 7].set(600.0))
+    _, bad2 = guard_finite_state(robot2, safe)
+    assert not np.asarray(bad2).any()
