@@ -760,7 +760,13 @@ def make_cassie_env(**kw):
     kw.setdefault("d_gain", {"hip_abduction": 3.0, "hip_rotation": 3.0,
                              "hip_flexion": 6.0, "thigh_joint": 6.0,
                              "ankle_joint": 6.0, "toe_joint": 1.0})
-    kw.setdefault("action_scale", 0.5)
+    # Sim-specific deviations from the ref's 0.5 action scale / -200
+    # termination (round-5 A/B at 1000 iters x 4096: ref values diverged
+    # reward -7.6 -> -54 pre-explosion-guard; 0.25 scale reached eval
+    # tracking err 0.81 and -50 termination 0.64, both at ~0 falls —
+    # docs/PERF.md cassie round 5). The explicit integrator's stiff
+    # contact punishes the ref's +-0.5 rad exploration jolts.
+    kw.setdefault("action_scale", 0.25)
     kw.setdefault("base_height", 1.0)
     kw.setdefault("base_height_target", 0.9)
     kw.setdefault("foot_name", "toe")
@@ -781,7 +787,7 @@ def make_cassie_env(**kw):
         ("dof_pos_limits", -1.0),
         ("no_fly", 0.25),
         ("action_rate", -0.01),   # inherited from the ref base scales
-        ("termination", -200.0),
+        ("termination", -50.0),   # ref -200; see the A/B note above
     ))
     return make_velocity_env(CASSIE_URDF, **kw)
 
