@@ -266,6 +266,8 @@ def make_velocity_env(urdf_path: str, num_envs: int = 4096,
                       only_positive_rewards: bool = False,
                       max_contact_force: float = 100.0,
                       measure_heights: bool = False,
+                      command_curriculum: bool = False,
+                      init_lin_vel_range: float = 1.0,
                       randomize_friction: bool = True,
                       friction_range=(0.5, 1.25),
                       randomize_base_mass: bool = False,
@@ -359,9 +361,14 @@ def make_velocity_env(urdf_path: str, num_envs: int = 4096,
         obs_scales=jnp.ones(1),  # scales applied inline
         noise_vec=noise_vec,
         # ref commands block: lin_vel_x/y [-1, 1], ang_vel [-1, 1],
-        # heading [-pi, pi] (legged_robot_config.py:82-95).
+        # heading [-pi, pi] (legged_robot_config.py:82-95). With
+        # ``command_curriculum`` the lin-vel ranges start at
+        # +-init_lin_vel_range and widen on tracking success (ref
+        # legged_robot.py:488-500 update_command_curriculum).
+        command_curriculum=command_curriculum,
         init_command_ranges=jnp.asarray(
-            [[-1.0, 1.0], [-1.0, 1.0], [-1.0, 1.0],
+            [[-init_lin_vel_range, init_lin_vel_range],
+             [-init_lin_vel_range, init_lin_vel_range], [-1.0, 1.0],
              [-np.pi, np.pi]], jnp.float32,
         ),
         tracking_sigma=jnp.asarray(0.25),
