@@ -774,6 +774,12 @@ def make_cassie_env(**kw):
     # docs/PERF.md cassie round 5). The explicit integrator's stiff
     # contact punishes the ref's +-0.5 rad exploration jolts.
     kw.setdefault("action_scale", 0.25)
+    # Command curriculum breaks the stand-in-place local optimum the
+    # full +-1 m/s command distribution traps the biped in (round-5 A/B
+    # at 3000 iters: err 0.64 -> 0.19 at +-0.4 / 0.37 at +-1.0 eval;
+    # docs/PERF.md). Ref mechanism: legged_robot.py:488-500.
+    kw.setdefault("command_curriculum", True)
+    kw.setdefault("init_lin_vel_range", 0.4)
     kw.setdefault("base_height", 1.0)
     kw.setdefault("base_height_target", 0.9)
     kw.setdefault("foot_name", "toe")
